@@ -1,0 +1,35 @@
+"""salva_tpu — a TPU-native SPH fluid simulation engine.
+
+A from-scratch JAX/XLA/Pallas re-design of the capabilities of
+dimforge/salva (2D & 3D particle-based fluids with DFSPH/IISPH pressure
+solvers, non-pressure forces, boundary handling and two-way rigid-body
+coupling), architected for TPU hardware: fixed-shape SoA state, sort-based
+Morton neighbor lists, `lax.while_loop` solver iterations and
+`shard_map`-based multi-device domain decomposition.
+"""
+
+from .config import DFSPHConfig, IISPHConfig, NeighborConfig, SimConfig, particle_volume
+from .object import (
+    ALL,
+    NONE,
+    BoundariesState,
+    FluidsState,
+    InteractionGroups,
+    group,
+)
+from .version import __version__
+
+__all__ = [
+    "__version__",
+    "SimConfig",
+    "NeighborConfig",
+    "DFSPHConfig",
+    "IISPHConfig",
+    "particle_volume",
+    "FluidsState",
+    "BoundariesState",
+    "InteractionGroups",
+    "group",
+    "ALL",
+    "NONE",
+]

