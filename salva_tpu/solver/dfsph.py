@@ -90,15 +90,6 @@ def compute_divergences(ctx: StepContext, velocity_changes, min_neighbors: int):
     return div, err
 
 
-def _stiffness_velocity_update(ctx: StepContext, ki, scale):
-    """Shared kernel of the pressure / divergence velocity updates:
-    dv_i -= sum_j grad * (k_i + k_j) m_j * scale  (ff)
-    dv_i -= sum_b grad * k_i V_b rho0_i * scale   (fb, plus boundary force)
-    with the exact clamping conventions picked by the caller via ``ki``.
-    """
-    raise NotImplementedError  # superseded by explicit implementations below
-
-
 def pressure_velocity_changes(ctx: StepContext, velocity_changes, bforces,
                               predicted_densities, alphas):
     """One pressure iteration's velocity update (`dfsph_solver.rs:218-277`)."""
