@@ -1,0 +1,147 @@
+"""Analytic shapes as signed distance fields.
+
+The reference leans on parry's shape/ray-cast/point-projection machinery
+for boundary sampling (``src/sampling/ray_sampling.rs``) and dynamic
+contact sampling (``fluids_pipeline.rs:192-255``). On TPU, per-particle
+point projection must be branch-free and vectorized, so shapes are
+expressed as signed distance fields with analytic gradients: projection of
+``p`` onto the surface is ``p - sdf(p) * normal(p)``, penetration is
+``sdf(p) < 0``.
+
+Shape geometry is static (hashable frozen dataclasses); poses (isometries)
+are dynamic arrays so rigid bodies can move without recompilation.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+@dataclasses.dataclass(frozen=True)
+class Ball:
+    radius: float
+
+    def sdf(self, p):
+        return jnp.linalg.norm(p, axis=-1) - self.radius
+
+
+@dataclasses.dataclass(frozen=True)
+class Cuboid:
+    """Box with the given half-extents (dim inferred from the tuple)."""
+
+    half_extents: Tuple[float, ...]
+
+    def sdf(self, p):
+        b = jnp.asarray(self.half_extents, p.dtype)
+        q = jnp.abs(p) - b
+        outside = jnp.linalg.norm(jnp.maximum(q, 0.0), axis=-1)
+        inside = jnp.minimum(jnp.max(q, axis=-1), 0.0)
+        return outside + inside
+
+
+@dataclasses.dataclass(frozen=True)
+class Capsule:
+    """Capsule along the local y axis: segment [-half_height, half_height]
+    with the given radius."""
+
+    half_height: float
+    radius: float
+
+    def sdf(self, p):
+        y = jnp.clip(p[..., 1], -self.half_height, self.half_height)
+        d = p - jnp.zeros_like(p).at[..., 1].set(y)
+        return jnp.linalg.norm(d, axis=-1) - self.radius
+
+
+@dataclasses.dataclass(frozen=True)
+class HalfSpace:
+    """Half-space below the plane with local normal ``normal`` through the
+    origin: sdf = dot(n, p)."""
+
+    normal: Tuple[float, ...]
+
+    def sdf(self, p):
+        n = jnp.asarray(self.normal, p.dtype)
+        n = n / jnp.linalg.norm(n)
+        return jnp.sum(p * n, axis=-1)
+
+
+@dataclasses.dataclass(frozen=True)
+class Heightfield:
+    """Heightfield over the local x (2D) or x/z (3D) axes.
+
+    ``heights``: tuple (2D: [nx]; 3D: row-major [nx, nz] flattened) sampled
+    uniformly over ``extent`` centered at the origin. The pseudo-SDF is the
+    vertical distance ``p_y - h(p_xz)`` (exact for flat terrain, a standard
+    approximation on slopes).
+    """
+
+    heights: Tuple[float, ...]
+    extent: Tuple[float, ...]  # (size_x,) in 2D; (size_x, size_z) in 3D
+    shape: Tuple[int, ...]  # (nx,) or (nx, nz)
+
+    def _height_at(self, xz):
+        hs = jnp.asarray(self.heights, jnp.float32).reshape(self.shape)
+        if len(self.shape) == 1:
+            nx = self.shape[0]
+            fx = (xz[..., 0] / self.extent[0] + 0.5) * (nx - 1)
+            i0 = jnp.clip(jnp.floor(fx).astype(jnp.int32), 0, nx - 2)
+            t = jnp.clip(fx - i0, 0.0, 1.0)
+            return hs[i0] * (1 - t) + hs[i0 + 1] * t
+        nx, nz = self.shape
+        fx = (xz[..., 0] / self.extent[0] + 0.5) * (nx - 1)
+        fz = (xz[..., 1] / self.extent[1] + 0.5) * (nz - 1)
+        i0 = jnp.clip(jnp.floor(fx).astype(jnp.int32), 0, nx - 2)
+        k0 = jnp.clip(jnp.floor(fz).astype(jnp.int32), 0, nz - 2)
+        tx = jnp.clip(fx - i0, 0.0, 1.0)
+        tz = jnp.clip(fz - k0, 0.0, 1.0)
+        h00 = hs[i0, k0]
+        h10 = hs[i0 + 1, k0]
+        h01 = hs[i0, k0 + 1]
+        h11 = hs[i0 + 1, k0 + 1]
+        return (
+            h00 * (1 - tx) * (1 - tz)
+            + h10 * tx * (1 - tz)
+            + h01 * (1 - tx) * tz
+            + h11 * tx * tz
+        )
+
+    def sdf(self, p):
+        if len(self.shape) == 1:
+            xz = p[..., 0:1]
+        else:
+            xz = jnp.stack([p[..., 0], p[..., 2]], axis=-1)
+        return p[..., 1] - self._height_at(xz)
+
+
+SHAPES = (Ball, Cuboid, Capsule, HalfSpace, Heightfield)
+
+
+def sdf_normal(shape, p):
+    """Unit outward normal = normalized SDF gradient (autodiff)."""
+    g = jax.vmap(jax.grad(lambda q: jnp.sum(shape.sdf(q[None]))))(p)
+    n = jnp.linalg.norm(g, axis=-1, keepdims=True)
+    return g / jnp.where(n > 1e-9, n, 1.0)
+
+
+def world_sdf(shape, p_world, rotation, translation):
+    """SDF of a posed shape: transform points into the local frame."""
+    local = jnp.einsum("de,...e->...d", rotation.T, p_world - translation)
+    return shape.sdf(local)
+
+
+def project_point(shape, p_world, rotation, translation):
+    """Project world points onto the posed shape's surface.
+
+    Returns (projection, sdf_value, world_normal).
+    """
+    local = jnp.einsum("de,...e->...d", rotation.T, p_world - translation)
+    d = shape.sdf(local)
+    n_local = sdf_normal(shape, local)
+    n_world = jnp.einsum("de,...e->...d", rotation, n_local)
+    proj = p_world - d[..., None] * n_world
+    return proj, d, n_world

@@ -1,0 +1,757 @@
+"""`LiquidWorld`: the top-level stateful wrapper around the pure step.
+
+API parity with the reference's ``LiquidWorld``
+(``src/liquid_world.rs:31-281``): add/remove fluids and boundaries,
+step with optional coupling, particle queries, counters, ``h`` and
+``particle_radius`` accessors — re-architected so that all per-step
+compute is one jitted pure function over merged capacity-N arrays
+(see ``step.py``), and the host side only manages slots and metadata.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import forces as force_specs
+from .config import DFSPHConfig, IISPHConfig, NeighborConfig, SimConfig, particle_volume
+from .counters import Counters
+from .geometry import GroupInfo, build_grid, evaluate_contacts, find_neighbors
+from .kernels import get_kernel
+from .object.interaction_groups import InteractionGroups
+from .object.state import BoundariesState, FluidsState
+from .solver import (
+    Akinci2013SurfaceTensionForce,
+    ArtificialViscosityForce,
+    Becker2009ElasticityForce,
+    DFSPHViscosityForce,
+    ForceSet,
+    He2014SurfaceTensionForce,
+    WCSPHSurfaceTensionForce,
+    XSPHViscosityForce,
+    build_elasticity_state,
+    elasticity_coefficients,
+)
+from .step import StepDiagnostics, get_jitted_step_fn, init_solver_state
+from .timestep import TimestepManager
+
+
+class Fluid:
+    """Host-side fluid description (`src/object/fluid.rs`)."""
+
+    def __init__(
+        self,
+        positions,
+        particle_radius: Optional[float] = None,
+        density0: float = 1000.0,
+        velocities=None,
+        nonpressure_forces: Optional[List] = None,
+        interaction_groups: InteractionGroups = InteractionGroups(),
+    ):
+        self.positions = np.asarray(positions, np.float32).reshape(
+            -1, np.asarray(positions).shape[-1] if len(positions) else 2
+        )
+        self.velocities = (
+            np.asarray(velocities, np.float32) if velocities is not None else None
+        )
+        self.particle_radius = particle_radius
+        self.density0 = float(density0)
+        self.nonpressure_forces = list(nonpressure_forces or [])
+        self.interaction_groups = interaction_groups
+
+    @property
+    def num_particles(self) -> int:
+        return len(self.positions)
+
+
+class Boundary:
+    """Host-side boundary description (`src/object/boundary.rs`)."""
+
+    def __init__(
+        self,
+        positions,
+        velocities=None,
+        interaction_groups: InteractionGroups = InteractionGroups(),
+    ):
+        arr = np.asarray(positions, np.float32)
+        self.positions = arr.reshape(-1, arr.shape[-1]) if arr.size else arr.reshape(0, 0)
+        self.velocities = (
+            np.asarray(velocities, np.float32) if velocities is not None else None
+        )
+        self.interaction_groups = interaction_groups
+
+
+@dataclasses.dataclass
+class _FluidRecord:
+    density0: float
+    groups: InteractionGroups
+    nonpressure_forces: List
+    removed: bool = False
+
+
+@dataclasses.dataclass
+class _BoundaryRecord:
+    groups: InteractionGroups
+    removed: bool = False
+
+
+def _next_capacity(needed: int, minimum: int = 64) -> int:
+    cap = minimum
+    while cap < needed:
+        cap *= 2
+    return cap
+
+
+class LiquidWorld:
+    """The physics world for simulating fluids with boundaries.
+
+    ``h = particle_radius * smoothing_factor * 2.0`` exactly like
+    `liquid_world.rs:47`.
+    """
+
+    def __init__(
+        self,
+        solver=None,
+        particle_radius: float = 0.05,
+        smoothing_factor: float = 2.0,
+        dim: int = 3,
+        neighbors: Optional[NeighborConfig] = None,
+        n_substeps: int = 1,
+        adaptive_timestep: bool = False,
+    ):
+        self.solver_config = solver if solver is not None else DFSPHConfig()
+        self.sim = SimConfig(
+            dim=dim,
+            particle_radius=particle_radius,
+            smoothing_factor=smoothing_factor,
+            neighbors=neighbors or NeighborConfig(),
+            n_substeps=n_substeps,
+        )
+        self.counters = Counters()
+        self.timestep_manager = TimestepManager(
+            particle_radius, adaptive=adaptive_timestep
+        )
+
+        self.fluids_state = FluidsState.empty(64, dim)
+        self.boundaries_state = BoundariesState.empty(64, dim)
+        self._fluid_alive = np.zeros(64, bool)
+        self._fluid_slot_owner = np.full(64, -1, np.int64)
+        self._boundary_alive = np.zeros(64, bool)
+        self._boundary_slot_owner = np.full(64, -1, np.int64)
+
+        self._fluid_records: List[_FluidRecord] = []
+        self._boundary_records: List[_BoundaryRecord] = []
+
+        self._force_set: Optional[ForceSet] = None
+        self._elasticity_state = None
+        self._elasticity_dirty = False
+        self._solver_state = None
+        self.last_diagnostics: Optional[StepDiagnostics] = None
+
+    # -- basic accessors ---------------------------------------------------
+
+    @property
+    def h(self) -> float:
+        return self.sim.h
+
+    @property
+    def particle_radius(self) -> float:
+        return self.sim.particle_radius
+
+    @property
+    def dim(self) -> int:
+        return self.sim.dim
+
+    @property
+    def num_fluids(self) -> int:
+        return len(self._fluid_records)
+
+    @property
+    def num_boundaries(self) -> int:
+        return len(self._boundary_records)
+
+    # -- capacity management ----------------------------------------------
+
+    def _grow_fluids(self, needed: int):
+        cap = self.fluids_state.capacity
+        if needed <= cap:
+            return
+        new_cap = _next_capacity(needed)
+        old = self.fluids_state
+        new = FluidsState.empty(new_cap, self.dim)
+        idx = jnp.arange(cap)
+        self.fluids_state = new.replace(
+            positions=new.positions.at[idx].set(old.positions),
+            velocities=new.velocities.at[idx].set(old.velocities),
+            volumes=new.volumes.at[idx].set(old.volumes),
+            density0=new.density0.at[idx].set(old.density0),
+            alive=new.alive.at[idx].set(old.alive),
+            fluid_id=new.fluid_id.at[idx].set(old.fluid_id),
+            memberships=new.memberships.at[idx].set(old.memberships),
+            filter=new.filter.at[idx].set(old.filter),
+        )
+        self._fluid_alive = np.concatenate(
+            [self._fluid_alive, np.zeros(new_cap - cap, bool)]
+        )
+        self._fluid_slot_owner = np.concatenate(
+            [self._fluid_slot_owner, np.full(new_cap - cap, -1, np.int64)]
+        )
+        if self._solver_state is not None:
+            self._solver_state = _grow_solver_state(
+                self._solver_state, new_cap, self.dim
+            )
+        self._elasticity_dirty = self._elasticity_state is not None
+
+    def _grow_boundaries(self, needed: int):
+        cap = self.boundaries_state.capacity
+        if needed <= cap:
+            return
+        new_cap = _next_capacity(needed)
+        old = self.boundaries_state
+        new = BoundariesState.empty(new_cap, self.dim)
+        idx = jnp.arange(cap)
+        self.boundaries_state = new.replace(
+            positions=new.positions.at[idx].set(old.positions),
+            velocities=new.velocities.at[idx].set(old.velocities),
+            volumes=new.volumes.at[idx].set(old.volumes),
+            forces=new.forces.at[idx].set(old.forces),
+            alive=new.alive.at[idx].set(old.alive),
+            boundary_id=new.boundary_id.at[idx].set(old.boundary_id),
+            memberships=new.memberships.at[idx].set(old.memberships),
+            filter=new.filter.at[idx].set(old.filter),
+        )
+        self._boundary_alive = np.concatenate(
+            [self._boundary_alive, np.zeros(new_cap - cap, bool)]
+        )
+        self._boundary_slot_owner = np.concatenate(
+            [self._boundary_slot_owner, np.full(new_cap - cap, -1, np.int64)]
+        )
+
+    def _alloc_fluid_slots(self, n: int) -> np.ndarray:
+        free = np.where(self._fluid_slot_owner < 0)[0]
+        if len(free) < n:
+            used = int((self._fluid_slot_owner >= 0).sum())
+            self._grow_fluids(used + n)
+            free = np.where(self._fluid_slot_owner < 0)[0]
+        return free[:n]
+
+    def _alloc_boundary_slots(self, n: int) -> np.ndarray:
+        free = np.where(self._boundary_slot_owner < 0)[0]
+        if len(free) < n:
+            used = int((self._boundary_slot_owner >= 0).sum())
+            self._grow_boundaries(used + n)
+            free = np.where(self._boundary_slot_owner < 0)[0]
+        return free[:n]
+
+    # -- object management -------------------------------------------------
+
+    def add_fluid(self, fluid: Fluid) -> int:
+        handle = len(self._fluid_records)
+        self._fluid_records.append(
+            _FluidRecord(
+                density0=fluid.density0,
+                groups=fluid.interaction_groups,
+                nonpressure_forces=fluid.nonpressure_forces,
+            )
+        )
+        self._force_set = None
+        if fluid.num_particles:
+            self._write_fluid_particles(
+                handle, fluid.positions, fluid.velocities
+            )
+        if any(
+            isinstance(f, force_specs.Becker2009Elasticity)
+            for f in fluid.nonpressure_forces
+        ):
+            self._elasticity_dirty = True
+        return handle
+
+    def add_boundary(self, boundary: Boundary) -> int:
+        handle = len(self._boundary_records)
+        self._boundary_records.append(
+            _BoundaryRecord(groups=boundary.interaction_groups)
+        )
+        if boundary.positions.size:
+            self._write_boundary_particles(
+                handle, boundary.positions, boundary.velocities
+            )
+        return handle
+
+    def remove_fluid(self, handle: int):
+        slots = np.where(self._fluid_slot_owner == handle)[0]
+        self._release_fluid_slots(slots)
+        self._fluid_records[handle].removed = True
+        self._force_set = None
+
+    def remove_boundary(self, handle: int):
+        slots = np.where(self._boundary_slot_owner == handle)[0]
+        if len(slots):
+            self.boundaries_state = self.boundaries_state.replace(
+                alive=self.boundaries_state.alive.at[jnp.asarray(slots)].set(False)
+            )
+        self._boundary_alive[slots] = False
+        self._boundary_slot_owner[slots] = -1
+        self._boundary_records[handle].removed = True
+
+    def _release_fluid_slots(self, slots: np.ndarray):
+        if len(slots):
+            self.fluids_state = self.fluids_state.replace(
+                alive=self.fluids_state.alive.at[jnp.asarray(slots)].set(False)
+            )
+        self._fluid_alive[slots] = False
+        self._fluid_slot_owner[slots] = -1
+
+    def _write_fluid_particles(self, handle: int, positions, velocities=None):
+        rec = self._fluid_records[handle]
+        n = len(positions)
+        slots = self._alloc_fluid_slots(n)
+        idx = jnp.asarray(slots)
+        vol = particle_volume(self.particle_radius, self.dim)
+        st = self.fluids_state
+        pos = jnp.asarray(positions, jnp.float32)
+        vel = (
+            jnp.asarray(velocities, jnp.float32)
+            if velocities is not None
+            else jnp.zeros_like(pos)
+        )
+        self.fluids_state = st.replace(
+            positions=st.positions.at[idx].set(pos),
+            velocities=st.velocities.at[idx].set(vel),
+            volumes=st.volumes.at[idx].set(vol),
+            density0=st.density0.at[idx].set(rec.density0),
+            alive=st.alive.at[idx].set(True),
+            fluid_id=st.fluid_id.at[idx].set(handle),
+            memberships=st.memberships.at[idx].set(
+                jnp.uint32(rec.groups.memberships)
+            ),
+            filter=st.filter.at[idx].set(jnp.uint32(rec.groups.filter)),
+        )
+        self._fluid_alive[slots] = True
+        self._fluid_slot_owner[slots] = handle
+        return slots
+
+    def _write_boundary_particles(self, handle: int, positions, velocities=None):
+        rec = self._boundary_records[handle]
+        n = len(positions)
+        slots = self._alloc_boundary_slots(n)
+        idx = jnp.asarray(slots)
+        st = self.boundaries_state
+        pos = jnp.asarray(positions, jnp.float32)
+        vel = (
+            jnp.asarray(velocities, jnp.float32)
+            if velocities is not None
+            else jnp.zeros_like(pos)
+        )
+        self.boundaries_state = st.replace(
+            positions=st.positions.at[idx].set(pos),
+            velocities=st.velocities.at[idx].set(vel),
+            alive=st.alive.at[idx].set(True),
+            boundary_id=st.boundary_id.at[idx].set(handle),
+            memberships=st.memberships.at[idx].set(
+                jnp.uint32(rec.groups.memberships)
+            ),
+            filter=st.filter.at[idx].set(jnp.uint32(rec.groups.filter)),
+        )
+        self._boundary_alive[slots] = True
+        self._boundary_slot_owner[slots] = handle
+        return slots
+
+    # -- particle-level API (emitters / deletion, `fluid.rs:71-150`) -------
+
+    def fluid_slots(self, handle: int) -> np.ndarray:
+        return np.where(
+            (self._fluid_slot_owner == handle) & self._fluid_alive
+        )[0]
+
+    def boundary_slots(self, handle: int) -> np.ndarray:
+        return np.where(
+            (self._boundary_slot_owner == handle) & self._boundary_alive
+        )[0]
+
+    def add_particles(self, handle: int, positions, velocities=None):
+        """`Fluid::add_particles` (`fluid.rs:126-150`)."""
+        slots = self._write_fluid_particles(handle, positions, velocities)
+        if self._has_elasticity(handle):
+            self._elasticity_dirty = True
+        return slots
+
+    def delete_particles(self, handle: int, indices):
+        """Delete particles by index within the fluid (the immediate analog
+        of `delete_particle_at_next_timestep` + `apply_particles_removal`,
+        `fluid.rs:71-98` — deletions between steps are immediate here)."""
+        slots = self.fluid_slots(handle)[np.asarray(indices)]
+        self._release_fluid_slots(slots)
+
+    def fluid_positions(self, handle: int) -> np.ndarray:
+        return np.asarray(self.fluids_state.positions)[self.fluid_slots(handle)]
+
+    def fluid_velocities(self, handle: int) -> np.ndarray:
+        return np.asarray(self.fluids_state.velocities)[self.fluid_slots(handle)]
+
+    def boundary_positions(self, handle: int) -> np.ndarray:
+        return np.asarray(self.boundaries_state.positions)[
+            self.boundary_slots(handle)
+        ]
+
+    def boundary_forces(self, handle: int) -> np.ndarray:
+        """Accumulated force feedback of a boundary (`boundary.rs:62-67`)."""
+        return np.asarray(self.boundaries_state.forces)[
+            self.boundary_slots(handle)
+        ]
+
+    def set_boundary_particles(self, handle: int, positions, velocities=None):
+        """Replace all particles of a boundary (used by coupling to
+        re-sample moving colliders each step)."""
+        slots = np.where(self._boundary_slot_owner == handle)[0]
+        n_new = len(positions)
+        if len(slots) == n_new:
+            # Fast path: in-place update.
+            idx = jnp.asarray(slots)
+            st = self.boundaries_state
+            pos = jnp.asarray(positions, jnp.float32)
+            vel = (
+                jnp.asarray(velocities, jnp.float32)
+                if velocities is not None
+                else jnp.zeros_like(pos)
+            )
+            self.boundaries_state = st.replace(
+                positions=st.positions.at[idx].set(pos),
+                velocities=st.velocities.at[idx].set(vel),
+                alive=st.alive.at[idx].set(True),
+            )
+            self._boundary_alive[slots] = True
+        else:
+            if len(slots):
+                self.boundaries_state = self.boundaries_state.replace(
+                    alive=self.boundaries_state.alive.at[jnp.asarray(slots)].set(
+                        False
+                    )
+                )
+                self._boundary_alive[slots] = False
+                self._boundary_slot_owner[slots] = -1
+            if n_new:
+                self._write_boundary_particles(handle, positions, velocities)
+
+    # -- force-set / elasticity assembly ----------------------------------
+
+    def _has_elasticity(self, handle: int) -> bool:
+        return any(
+            isinstance(f, force_specs.Becker2009Elasticity)
+            for f in self._fluid_records[handle].nonpressure_forces
+        )
+
+    def _build_force_set(self) -> ForceSet:
+        nf = self.num_fluids
+        by_type: Dict[type, Dict[int, object]] = {}
+        for fid, rec in enumerate(self._fluid_records):
+            if rec.removed:
+                continue
+            for inst in rec.nonpressure_forces:
+                by_type.setdefault(type(inst), {})[fid] = inst
+
+        merged = []
+        for ftype, inst in by_type.items():
+            def col(attr, default=0.0):
+                return tuple(
+                    float(getattr(inst[i], attr)) if i in inst else float(default)
+                    for i in range(nf)
+                )
+
+            if ftype is force_specs.XSPHViscosity:
+                merged.append(
+                    XSPHViscosityForce(
+                        col("fluid_viscosity_coefficient"),
+                        col("boundary_viscosity_coefficient"),
+                    )
+                )
+            elif ftype is force_specs.ArtificialViscosity:
+                merged.append(
+                    ArtificialViscosityForce(
+                        col("fluid_viscosity_coefficient"),
+                        col("boundary_viscosity_coefficient"),
+                        col("alpha", 1.0),
+                        col("beta", 0.0),
+                        col("speed_of_sound", 10.0),
+                    )
+                )
+            elif ftype is force_specs.DFSPHViscosity:
+                any_inst = next(iter(inst.values()))
+                merged.append(
+                    DFSPHViscosityForce(
+                        col("viscosity_coefficient"),
+                        tuple(1 if i in inst else 0 for i in range(nf)),
+                        min_viscosity_iter=any_inst.min_viscosity_iter,
+                        max_viscosity_iter=any_inst.max_viscosity_iter,
+                        max_viscosity_error=any_inst.max_viscosity_error,
+                    )
+                )
+            elif ftype is force_specs.Akinci2013SurfaceTension:
+                merged.append(
+                    Akinci2013SurfaceTensionForce(
+                        col("fluid_tension_coefficient"),
+                        col("boundary_adhesion_coefficient"),
+                    )
+                )
+            elif ftype is force_specs.He2014SurfaceTension:
+                merged.append(
+                    He2014SurfaceTensionForce(
+                        col("fluid_tension_coefficient"),
+                        col("boundary_tension_coefficient"),
+                    )
+                )
+            elif ftype is force_specs.WCSPHSurfaceTension:
+                merged.append(
+                    WCSPHSurfaceTensionForce(
+                        col("fluid_tension_coefficient"),
+                        col("boundary_tension_coefficient"),
+                    )
+                )
+            elif ftype is force_specs.Becker2009Elasticity:
+                d0, d1, d2 = [], [], []
+                for i in range(nf):
+                    if i in inst:
+                        a, b, c = elasticity_coefficients(
+                            inst[i].young_modulus, inst[i].poisson_ratio
+                        )
+                    else:
+                        a = b = c = 0.0
+                    d0.append(a)
+                    d1.append(b)
+                    d2.append(c)
+                merged.append(
+                    Becker2009ElasticityForce(
+                        tuple(d0),
+                        tuple(d1),
+                        tuple(d2),
+                        tuple(
+                            1 if i in inst and inst[i].nonlinear_strain else 0
+                            for i in range(nf)
+                        ),
+                        tuple(1 if i in inst else 0 for i in range(nf)),
+                    )
+                )
+            else:
+                raise TypeError(f"unknown non-pressure force {ftype.__name__}")
+        return ForceSet(tuple(merged))
+
+    def _rebuild_elasticity_state(self):
+        """Capture rest state for all elasticity-carrying fluids
+        (`becker2009_elasticity.rs:84-113`)."""
+        elastic_fids = [
+            fid
+            for fid in range(self.num_fluids)
+            if not self._fluid_records[fid].removed and self._has_elasticity(fid)
+        ]
+        if not elastic_fids:
+            self._elasticity_state = None
+            self._elasticity_dirty = False
+            return
+        fl = self.fluids_state
+        is_elastic = jnp.isin(
+            fl.fluid_id, jnp.asarray(elastic_fids, jnp.int32)
+        ) & fl.alive
+        h, dim = self.h, self.dim
+        nbcfg = self.sim.neighbors
+        # Same-fluid-only rest contacts: zero group masks fail the group
+        # test, so only the same_model_always path admits pairs.
+        zero_groups = GroupInfo(
+            jnp.zeros_like(fl.memberships),
+            jnp.zeros_like(fl.filter),
+            fl.fluid_id,
+        )
+        grid = build_grid(fl.positions, is_elastic, h, dim)
+        nl = find_neighbors(
+            fl.positions, is_elastic, zero_groups,
+            grid, fl.positions, is_elastic, zero_groups,
+            h, dim, nbcfg.max_neighbors, nbcfg.max_candidates,
+            same_model_always=True, query_chunk=nbcfg.query_chunk,
+        )
+        kd_w, _ = get_kernel(self.sim.kernel_density)
+        _, kg_dw = get_kernel(self.sim.kernel_gradient)
+        contacts = evaluate_contacts(
+            fl.positions, fl.positions, nl, h, dim, w_fn=kd_w, dw_fn=kg_dw
+        )
+        self._elasticity_state = build_elasticity_state(fl, contacts, is_elastic)
+        self._elasticity_dirty = False
+
+    # -- stepping ----------------------------------------------------------
+
+    def _prepare(self):
+        if self._force_set is None:
+            self._force_set = self._build_force_set()
+        if self._elasticity_dirty:
+            self._rebuild_elasticity_state()
+        if self._solver_state is None or (
+            _solver_state_capacity(self._solver_state)
+            != self.fluids_state.capacity
+        ):
+            self._solver_state = init_solver_state(
+                self.solver_config, self.fluids_state.capacity, self.dim
+            )
+
+    def step(self, dt: float, gravity):
+        """Advance the simulation by dt seconds (`liquid_world.rs:62-64`)."""
+        self.step_with_coupling(dt, gravity, None)
+
+    def step_with_coupling(self, dt: float, gravity, coupling):
+        """Advance with two-way rigid-body coupling
+        (`liquid_world.rs:67-158`). ``coupling`` follows the
+        `CouplingManager` protocol (`coupling/base.py`) or is None."""
+        self.counters.reset()
+        self.counters.step_time.start()
+        self._prepare()
+        gravity = jnp.asarray(gravity, jnp.float32)
+        num_fluids = max(self.num_fluids, 1)
+        step_fn = get_jitted_step_fn(
+            self.sim, self.solver_config, self._force_set, num_fluids
+        )
+
+        tm = self.timestep_manager
+        tm.reset(dt)
+        while not tm.is_done():
+            if tm.adaptive:
+                vmax = float(
+                    jnp.max(
+                        jnp.where(
+                            self.fluids_state.alive[:, None],
+                            jnp.abs(self.fluids_state.velocities),
+                            0.0,
+                        )
+                    )
+                )
+            else:
+                vmax = 0.0
+            sub_dt = tm.advance(vmax)
+            if coupling is not None:
+                self.counters.cd.boundary_update_time.resume()
+                coupling.update_boundaries(self, sub_dt)
+                self.counters.cd.boundary_update_time.pause()
+            (
+                self.fluids_state,
+                self.boundaries_state,
+                self._solver_state,
+                self.last_diagnostics,
+            ) = step_fn(
+                self.fluids_state,
+                self.boundaries_state,
+                self._solver_state,
+                self._elasticity_state,
+                sub_dt,
+                gravity,
+            )
+            if coupling is not None:
+                coupling.transmit_forces(self, sub_dt)
+            self.counters.nsubsteps += 1
+
+        if self.counters.enabled:
+            jax.block_until_ready(self.fluids_state.positions)
+            if self.last_diagnostics is not None:
+                self.counters.cd.ncontacts = int(
+                    self.last_diagnostics.ncontacts_ff
+                    + self.last_diagnostics.ncontacts_fb
+                )
+        self.counters.step_time.pause()
+
+    # -- ordering / queries ------------------------------------------------
+
+    def z_sort(self):
+        """Reorder fluid particles in Morton order for gather locality
+        (`Fluid::z_sort`, `fluid.rs:153-163`; dead slots sort last)."""
+        from .geometry.grid import DEAD_KEY, cell_coords, morton_key
+
+        fl = self.fluids_state
+        keys = morton_key(cell_coords(fl.positions, self.h), self.dim)
+        keys = jnp.where(fl.alive, keys, DEAD_KEY)
+        perm = jnp.argsort(keys)
+        perm_np = np.asarray(perm)
+        inv = np.empty_like(perm_np)
+        inv[perm_np] = np.arange(len(perm_np))
+        inv_j = jnp.asarray(inv, jnp.int32)
+
+        def permute(a):
+            return a[perm]
+
+        self.fluids_state = jax.tree_util.tree_map(permute, fl)
+        self._fluid_alive = self._fluid_alive[perm_np]
+        self._fluid_slot_owner = self._fluid_slot_owner[perm_np]
+        if self._solver_state is not None:
+            self._solver_state = self._solver_state[perm]
+        if self._elasticity_state is not None:
+            es = self._elasticity_state
+            self._elasticity_state = es.replace(
+                positions0=es.positions0[perm],
+                volumes0=es.volumes0[perm],
+                rest_j=inv_j[es.rest_j[perm]],
+                rest_valid=es.rest_valid[perm],
+                rest_w=es.rest_w[perm],
+                rest_grad=es.rest_grad[perm],
+            )
+
+    def particles_intersecting_aabb(self, mins, maxs):
+        """Particle ids near an AABB (loosened by the particle radius),
+        `liquid_world.rs:211-246`. Returns (kind, handle, index) tuples."""
+        mins = np.asarray(mins)
+        maxs = np.asarray(maxs)
+        out = []
+        for kind, state, alive, owner in (
+            ("fluid", self.fluids_state, self._fluid_alive, self._fluid_slot_owner),
+            (
+                "boundary",
+                self.boundaries_state,
+                self._boundary_alive,
+                self._boundary_slot_owner,
+            ),
+        ):
+            pos = np.asarray(state.positions)
+            clamped = np.clip(pos, mins, maxs)
+            d = np.linalg.norm(pos - clamped, axis=-1)
+            hits = np.where(alive & (d < self.particle_radius))[0]
+            for slot in hits:
+                handle = int(owner[slot])
+                within = np.where(
+                    (owner == handle) & alive
+                )[0]
+                index = int(np.searchsorted(within, slot))
+                out.append((kind, handle, index))
+        return out
+
+    def particles_intersecting_shape(self, shape, rotation, translation):
+        """Particle ids near a posed SDF shape (`liquid_world.rs:248-280`)."""
+        from .shapes import world_sdf
+
+        rotation = jnp.asarray(rotation, jnp.float32)
+        translation = jnp.asarray(translation, jnp.float32)
+        out = []
+        for kind, state, alive, owner in (
+            ("fluid", self.fluids_state, self._fluid_alive, self._fluid_slot_owner),
+            (
+                "boundary",
+                self.boundaries_state,
+                self._boundary_alive,
+                self._boundary_slot_owner,
+            ),
+        ):
+            d = np.asarray(world_sdf(shape, state.positions, rotation, translation))
+            hits = np.where(alive & (d <= self.particle_radius))[0]
+            for slot in hits:
+                handle = int(owner[slot])
+                within = np.where((owner == handle) & alive)[0]
+                index = int(np.searchsorted(within, slot))
+                out.append((kind, handle, index))
+        return out
+
+
+def _solver_state_capacity(state) -> int:
+    return state.shape[0]
+
+
+def _grow_solver_state(state, new_cap: int, dim: int):
+    if state.ndim == 2:
+        new = jnp.zeros((new_cap, dim), state.dtype)
+    else:
+        new = jnp.zeros((new_cap,), state.dtype)
+    return new.at[: state.shape[0]].set(state)

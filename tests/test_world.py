@@ -1,0 +1,108 @@
+"""World-level integration tests: dam break in a box with boundaries
+(the headless analog of `examples2d/basic2.rs` / `examples3d/basic3.rs`).
+"""
+
+import numpy as np
+import pytest
+
+from salva_tpu.config import DFSPHConfig, IISPHConfig, NeighborConfig
+from salva_tpu.world import Boundary, Fluid, LiquidWorld
+
+from util import cube_positions
+
+RADIUS = 0.05
+NEIGHBORS = NeighborConfig(max_neighbors=40, max_candidates=128, query_chunk=4096)
+
+
+def _box_walls_2d(radius, half_width=1.0, height=1.0):
+    """Single-layer boundary particles: floor + two walls, spaced 2r."""
+    spacing = 2.0 * radius
+    xs = np.arange(-half_width, half_width + spacing / 2, spacing)
+    floor = np.stack([xs, np.full_like(xs, -spacing)], axis=-1)
+    ys = np.arange(-spacing, height, spacing)
+    left = np.stack([np.full_like(ys, -half_width), ys], axis=-1)
+    right = np.stack([np.full_like(ys, half_width), ys], axis=-1)
+    # Second floor layer to prevent tunneling.
+    floor2 = floor - np.array([0.0, spacing])
+    return np.concatenate([floor, floor2, left, right]).astype(np.float32)
+
+
+def _dam_break_world(solver):
+    world = LiquidWorld(
+        solver=solver,
+        particle_radius=RADIUS,
+        smoothing_factor=2.0,
+        dim=2,
+        neighbors=NEIGHBORS,
+    )
+    pos = cube_positions(8, RADIUS, 2, origin=(-0.9, 0.02))
+    fluid = world.add_fluid(Fluid(pos, density0=1000.0))
+    bnd = world.add_boundary(Boundary(_box_walls_2d(RADIUS)))
+    return world, fluid, bnd
+
+
+@pytest.mark.parametrize("solver", [DFSPHConfig(), IISPHConfig()])
+def test_dam_break_stays_in_box(solver):
+    world, fluid, bnd = _dam_break_world(solver)
+    for _ in range(60):
+        world.step(1.0 / 200.0, (0.0, -9.81))
+    pos = world.fluid_positions(fluid)
+    assert np.all(np.isfinite(pos))
+    # Nothing fell through the floor or left through the walls.
+    assert pos[:, 1].min() > -0.15, pos[:, 1].min()
+    assert np.abs(pos[:, 0]).max() < 1.1
+    # Fluid settled near the floor under gravity.
+    assert pos[:, 1].mean() < 0.5
+    d = world.last_diagnostics
+    assert float(d.solver.pressure_error) <= solver.max_density_error + 1e-6
+    assert int(d.neighbor_overflow) == 0
+
+
+def test_boundary_receives_downward_force():
+    """Two-way feedback: the floor must receive the fluid's weight
+    (negative y force), `boundary.rs:62-67`."""
+    world, fluid, bnd = _dam_break_world(DFSPHConfig())
+    for _ in range(40):
+        world.step(1.0 / 200.0, (0.0, -9.81))
+    f = world.boundary_forces(bnd)
+    assert f.shape[1] == 2
+    assert f[:, 1].sum() < 0.0  # net downward push on the boundary
+
+
+def test_queries():
+    world, fluid, bnd = _dam_break_world(DFSPHConfig())
+    hits = world.particles_intersecting_aabb((-2.0, -1.0), (2.0, 2.0))
+    kinds = {k for k, _, _ in hits}
+    assert kinds == {"fluid", "boundary"}
+    n_fluid = sum(1 for k, _, _ in hits if k == "fluid")
+    assert n_fluid == 64
+
+
+def test_z_sort_preserves_physics():
+    world, fluid, bnd = _dam_break_world(DFSPHConfig())
+    world2, fluid2, bnd2 = _dam_break_world(DFSPHConfig())
+    for _ in range(5):
+        world.step(1.0 / 200.0, (0.0, -9.81))
+        world2.step(1.0 / 200.0, (0.0, -9.81))
+    world2.z_sort()
+    for _ in range(5):
+        world.step(1.0 / 200.0, (0.0, -9.81))
+        world2.step(1.0 / 200.0, (0.0, -9.81))
+    a = world.fluid_positions(fluid)
+    b = world2.fluid_positions(fluid2)
+    # Same particle set up to ordering and float reassociation.
+    a = a[np.lexsort(a.T)]
+    b = b[np.lexsort(b.T)]
+    np.testing.assert_allclose(a, b, atol=2e-3)
+
+
+def test_emitter_and_deletion():
+    world, fluid, bnd = _dam_break_world(DFSPHConfig())
+    n0 = len(world.fluid_positions(fluid))
+    world.add_particles(fluid, cube_positions(3, RADIUS, 2, origin=(0.5, 0.5)))
+    assert len(world.fluid_positions(fluid)) == n0 + 9
+    world.step(1.0 / 200.0, (0.0, -9.81))
+    world.delete_particles(fluid, np.arange(5))
+    assert len(world.fluid_positions(fluid)) == n0 + 9 - 5
+    world.step(1.0 / 200.0, (0.0, -9.81))
+    assert np.all(np.isfinite(world.fluid_positions(fluid)))
