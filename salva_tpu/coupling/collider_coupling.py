@@ -1,0 +1,158 @@
+"""Collider <-> boundary coupling.
+
+The TPU re-design of the reference's ``ColliderCouplingSet`` /
+``ColliderCouplingManager`` (``src/integrations/rapier/fluids_pipeline.rs:
+64-288``):
+
+- ``StaticSampling``: precomputed collider-local boundary points are
+  transformed by the collider pose each substep, with velocities evaluated
+  from the body motion (``:180-191``). Velocities are evaluated at the
+  *world* points (the reference passes the local point — kept as the
+  physically-correct variant here).
+- ``DynamicContactSampling``: every substep, fluid particles near the
+  collider are projected onto its surface; penetrating particles are pushed
+  out and their inward velocity is cancelled, and a boundary particle is
+  emitted at each projection (``:192-255``). The reference walks hgrid
+  cells and projects with parry per particle; here the whole fluid state is
+  classified against the collider SDF in one vectorized device pass.
+- ``transmit_forces``: accumulated boundary forces become impulses
+  ``force * dt`` on the parent body (``:263-287``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import shapes as shp
+from .rigid_body import RigidBodyWorld
+
+
+class ColliderSampling:
+    """Sampling strategy of one coupling (`fluids_pipeline.rs:64-72`)."""
+
+    @staticmethod
+    def static_sampling(points) -> "ColliderSampling":
+        s = ColliderSampling()
+        s.kind = "static"
+        s.points = np.asarray(points, np.float32)
+        return s
+
+    @staticmethod
+    def dynamic_contact_sampling(max_samples: int = 4096) -> "ColliderSampling":
+        s = ColliderSampling()
+        s.kind = "dynamic"
+        s.max_samples = max_samples
+        return s
+
+
+@dataclasses.dataclass
+class _CouplingEntry:
+    boundary: int
+    collider: int
+    sampling: ColliderSampling
+
+
+@jax.jit
+def _dynamic_sample_kernel(positions, velocities, alive, d, n, dt,
+                           h, margin):
+    """Device pass of DynamicContactSampling for one collider.
+
+    Inputs: current fluid state + SDF distance ``d`` / outward normal ``n``
+    evaluated at the *predicted* positions ``p + v dt``
+    (`fluids_pipeline.rs:207-210`). Returns updated positions/velocities
+    and the emission mask + projection points.
+    """
+    prediction = h * 0.5
+    inside = alive & (d < 0.0)
+
+    # Depenetration: push out along the outward normal by depth + margin
+    # and cancel any inward velocity (`fluids_pipeline.rs:222-237`).
+    push = (-d + margin)[:, None] * n
+    new_pos = jnp.where(inside[:, None], positions + push, positions)
+    v_n = jnp.sum(n * velocities, axis=-1)
+    cancel = inside & (v_n < 0.0)
+    new_vel = jnp.where(cancel[:, None], velocities - v_n[:, None] * n, velocities)
+
+    # Emit a boundary particle at the surface projection for any particle
+    # within the kernel-support prediction band (`:241-252`).
+    emit = alive & (d <= h + prediction)
+    proj = (positions + velocities * dt) - d[:, None] * n
+    return new_pos, new_vel, emit, proj
+
+
+class ColliderCouplingSet:
+    """Registered collider<->boundary couplings + the CouplingManager impl.
+
+    The reference splits this into the set (host data, `:81-136`) and a
+    borrowing manager (`:137-288`); here the set itself implements the
+    protocol, bound to a ``RigidBodyWorld`` via ``as_manager``.
+    """
+
+    def __init__(self, rigid_world: RigidBodyWorld):
+        self.rigid_world = rigid_world
+        self.entries: Dict[int, _CouplingEntry] = {}
+
+    def register_coupling(self, boundary_handle: int, collider_id: int,
+                          sampling: ColliderSampling):
+        """`ColliderCouplingSet::register_coupling` (`:98-112`)."""
+        self.entries[collider_id] = _CouplingEntry(
+            boundary_handle, collider_id, sampling
+        )
+
+    def unregister_coupling(self, collider_id: int) -> Optional[int]:
+        """`ColliderCouplingSet::unregister_coupling` (`:114-122`);
+        returns the now-uncoupled boundary handle."""
+        e = self.entries.pop(collider_id, None)
+        return e.boundary if e is not None else None
+
+    # -- CouplingManager protocol -------------------------------------------
+
+    def update_boundaries(self, world, dt: float):
+        rw = self.rigid_world
+        for entry in self.entries.values():
+            collider = rw.colliders[entry.collider]
+            body = rw.body_of_collider(entry.collider)
+            R, t = rw.collider_pose(entry.collider)
+
+            if entry.sampling.kind == "static":
+                pts = entry.sampling.points @ R.T + t
+                vels = body.velocities_at_points(pts)
+                world.set_boundary_particles(entry.boundary, pts, vels)
+            else:
+                self._dynamic_update(world, entry, collider, body, R, t, dt)
+
+    def _dynamic_update(self, world, entry, collider, body, R, t, dt: float):
+        fl = world.fluids_state
+        predicted = fl.positions + fl.velocities * dt
+        _, d, n = shp.project_point(
+            collider.shape, predicted, jnp.asarray(R), jnp.asarray(t)
+        )
+        margin = world.particle_radius * 0.1
+        new_pos, new_vel, emit, proj = _dynamic_sample_kernel(
+            fl.positions, fl.velocities, fl.alive, d, n,
+            jnp.float32(dt), jnp.float32(world.h), jnp.float32(margin),
+        )
+        world.fluids_state = fl.replace(positions=new_pos, velocities=new_vel)
+
+        emit_np = np.asarray(emit)
+        idx = np.where(emit_np)[0][: entry.sampling.max_samples]
+        pts = np.asarray(proj)[idx]
+        vels = body.velocities_at_points(pts) if len(pts) else np.zeros_like(pts)
+        world.set_boundary_particles(entry.boundary, pts, vels)
+
+    def transmit_forces(self, world, dt: float):
+        """Boundary forces -> body impulses (`fluids_pipeline.rs:263-287`)."""
+        for entry in self.entries.values():
+            body = self.rigid_world.body_of_collider(entry.collider)
+            if not body.is_dynamic:
+                continue
+            forces = world.boundary_forces(entry.boundary)
+            if len(forces) == 0:
+                continue
+            pts = world.boundary_positions(entry.boundary)
+            body.apply_impulses_at_points(forces * dt, pts)

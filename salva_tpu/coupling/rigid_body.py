@@ -1,0 +1,278 @@
+"""A minimal rigid-body engine playing rapier's role in the coupling.
+
+The reference delegates rigid-body dynamics to the external rapier crate;
+the coupling only needs a small surface of it: body poses, point
+velocities, impulse application and a fixed-step integrator
+(``fluids_pipeline.rs:180-191`` uses ``velocity_at_point``, ``:263-287``
+uses ``apply_impulse_at_point``). This module implements exactly that
+surface for 2D and 3D so the coupling and all example scenes are
+self-contained.
+
+Bodies are host-side objects (there are few of them and their math is
+tiny); all per-particle work stays on device in ``collider_coupling``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+from .. import shapes as shp
+
+
+def _rot2(angle: float) -> np.ndarray:
+    c, s = np.cos(angle), np.sin(angle)
+    return np.array([[c, -s], [s, c]], np.float32)
+
+
+def _skew3(w: np.ndarray) -> np.ndarray:
+    return np.array(
+        [
+            [0.0, -w[2], w[1]],
+            [w[2], 0.0, -w[0]],
+            [-w[1], w[0], 0.0],
+        ],
+        np.float32,
+    )
+
+
+def _orthonormalize(R: np.ndarray) -> np.ndarray:
+    u, _, vt = np.linalg.svd(R)
+    return (u @ vt).astype(np.float32)
+
+
+def shape_mass_properties(shape, density: float, dim: int):
+    """(mass, angular inertia) of a shape at the given density.
+
+    3D inertia is returned as the diagonal of the body-frame inertia
+    tensor; 2D as a scalar. Exact for balls and cuboids; capsules use the
+    cylinder + hemisphere decomposition.
+    """
+    if isinstance(shape, shp.Ball):
+        r = shape.radius
+        if dim == 2:
+            m = density * np.pi * r**2
+            return m, 0.5 * m * r**2
+        m = density * 4.0 / 3.0 * np.pi * r**3
+        i = 0.4 * m * r**2
+        return m, np.array([i, i, i], np.float32)
+    if isinstance(shape, shp.Cuboid):
+        he = np.asarray(shape.half_extents, np.float64)
+        sides = 2.0 * he
+        vol = float(np.prod(sides))
+        m = density * vol
+        if dim == 2:
+            return m, m * (sides[0] ** 2 + sides[1] ** 2) / 12.0
+        ix = m * (sides[1] ** 2 + sides[2] ** 2) / 12.0
+        iy = m * (sides[0] ** 2 + sides[2] ** 2) / 12.0
+        iz = m * (sides[0] ** 2 + sides[1] ** 2) / 12.0
+        return m, np.array([ix, iy, iz], np.float32)
+    if isinstance(shape, shp.Capsule):
+        r, hh = shape.radius, shape.half_height
+        if dim == 2:
+            # rectangle + two half discs
+            m_rect = density * (2 * r) * (2 * hh)
+            m_disc = density * np.pi * r**2
+            m = m_rect + m_disc
+            i = (
+                m_rect * ((2 * r) ** 2 + (2 * hh) ** 2) / 12.0
+                + m_disc * (0.5 * r**2 + hh**2)
+            )
+            return m, i
+        m_cyl = density * np.pi * r**2 * (2 * hh)
+        m_sph = density * 4.0 / 3.0 * np.pi * r**3
+        m = m_cyl + m_sph
+        # Axis = local y.
+        iy = 0.5 * m_cyl * r**2 + 0.4 * m_sph * r**2
+        ix = (
+            m_cyl * (3 * r**2 + (2 * hh) ** 2) / 12.0
+            + m_sph * (0.4 * r**2 + hh**2 + 0.375 * 2 * r * hh)
+        )
+        return m, np.array([ix, iy, ix], np.float32)
+    # Heightfields / half-spaces: only sensible as fixed bodies.
+    return 0.0, (0.0 if dim == 2 else np.zeros(3, np.float32))
+
+
+@dataclasses.dataclass
+class Collider:
+    shape: object
+    body: int
+    local_translation: np.ndarray
+    local_rotation: np.ndarray  # [dim, dim]
+    density: float = 1000.0
+
+
+class RigidBody:
+    """One rigid body: pose, velocity, mass properties."""
+
+    def __init__(self, kind: str, dim: int, translation=None, rotation=None):
+        assert kind in ("fixed", "dynamic")
+        self.kind = kind
+        self.dim = dim
+        self.translation = (
+            np.asarray(translation, np.float32)
+            if translation is not None
+            else np.zeros(dim, np.float32)
+        )
+        if rotation is None:
+            self.rotation = np.eye(dim, dtype=np.float32)
+        elif np.isscalar(rotation):
+            self.rotation = _rot2(float(rotation))
+        else:
+            self.rotation = np.asarray(rotation, np.float32)
+        self.linvel = np.zeros(dim, np.float32)
+        # 2D: scalar angular velocity; 3D: vec3.
+        self.angvel = 0.0 if dim == 2 else np.zeros(3, np.float32)
+        self.mass = 0.0
+        # 2D: scalar; 3D: world-frame inverse inertia approximated as
+        # body-diagonal (colliders added through add_collider refresh this).
+        self.inertia = 0.0 if dim == 2 else np.zeros(3, np.float32)
+
+    @property
+    def is_dynamic(self) -> bool:
+        return self.kind == "dynamic"
+
+    @property
+    def inv_mass(self) -> float:
+        return 1.0 / self.mass if (self.is_dynamic and self.mass > 0) else 0.0
+
+    def _inv_inertia(self):
+        if self.dim == 2:
+            return 1.0 / self.inertia if (self.is_dynamic and self.inertia > 0) else 0.0
+        inv = np.zeros(3, np.float32)
+        if self.is_dynamic:
+            nz = self.inertia > 0
+            inv[nz] = 1.0 / self.inertia[nz]
+        return inv
+
+    def velocity_at_point(self, p_world: np.ndarray) -> np.ndarray:
+        """v + omega x r (`fluids_pipeline.rs:186-188` semantics, evaluated
+        at the world-space point)."""
+        r = np.asarray(p_world, np.float32) - self.translation
+        if self.dim == 2:
+            return self.linvel + self.angvel * np.array([-r[1], r[0]], np.float32)
+        return self.linvel + np.cross(self.angvel, r)
+
+    def velocities_at_points(self, pts: np.ndarray) -> np.ndarray:
+        r = np.asarray(pts, np.float32) - self.translation
+        if self.dim == 2:
+            perp = np.stack([-r[:, 1], r[:, 0]], axis=-1)
+            return self.linvel[None, :] + self.angvel * perp
+        return self.linvel[None, :] + np.cross(
+            np.broadcast_to(self.angvel, r.shape), r
+        )
+
+    def apply_impulse_at_point(self, impulse: np.ndarray, p_world: np.ndarray):
+        """`RigidBody::apply_impulse_at_point` (the rapier call used at
+        `fluids_pipeline.rs:283`)."""
+        if not self.is_dynamic:
+            return
+        impulse = np.asarray(impulse, np.float32)
+        r = np.asarray(p_world, np.float32) - self.translation
+        self.linvel = self.linvel + impulse * self.inv_mass
+        if self.dim == 2:
+            torque = r[0] * impulse[1] - r[1] * impulse[0]
+            self.angvel = self.angvel + torque * self._inv_inertia()
+        else:
+            torque = np.cross(r, impulse)
+            # World-frame approximation: I_world ~ R diag(I) R^T.
+            R = self.rotation
+            inv_body = self._inv_inertia()
+            dw = R @ (inv_body * (R.T @ torque))
+            self.angvel = self.angvel + dw.astype(np.float32)
+
+    def apply_impulses_at_points(self, impulses: np.ndarray, pts: np.ndarray):
+        """Vectorized sum of per-point impulses (one pass per coupling)."""
+        if not self.is_dynamic or len(pts) == 0:
+            return
+        impulses = np.asarray(impulses, np.float32)
+        pts = np.asarray(pts, np.float32)
+        r = pts - self.translation
+        self.linvel = self.linvel + impulses.sum(axis=0) * self.inv_mass
+        if self.dim == 2:
+            torque = float(np.sum(r[:, 0] * impulses[:, 1] - r[:, 1] * impulses[:, 0]))
+            self.angvel = self.angvel + torque * self._inv_inertia()
+        else:
+            torque = np.cross(r, impulses).sum(axis=0)
+            R = self.rotation
+            dw = R @ (self._inv_inertia() * (R.T @ torque))
+            self.angvel = self.angvel + dw.astype(np.float32)
+
+
+class RigidBodyWorld:
+    """A set of rigid bodies + colliders with a symplectic-Euler stepper.
+
+    The subset of rapier the fluids pipeline needs; scenes build bodies
+    here and register couplings against collider ids.
+    """
+
+    def __init__(self, dim: int = 3):
+        self.dim = dim
+        self.bodies: List[RigidBody] = []
+        self.colliders: List[Collider] = []
+
+    def add_body(self, kind: str = "dynamic", translation=None, rotation=None) -> int:
+        self.bodies.append(RigidBody(kind, self.dim, translation, rotation))
+        return len(self.bodies) - 1
+
+    def add_collider(
+        self,
+        body: int,
+        shape,
+        local_translation=None,
+        local_rotation=None,
+        density: float = 1000.0,
+    ) -> int:
+        lt = (
+            np.asarray(local_translation, np.float32)
+            if local_translation is not None
+            else np.zeros(self.dim, np.float32)
+        )
+        if local_rotation is None:
+            lr = np.eye(self.dim, dtype=np.float32)
+        elif np.isscalar(local_rotation):
+            lr = _rot2(float(local_rotation))
+        else:
+            lr = np.asarray(local_rotation, np.float32)
+        self.colliders.append(Collider(shape, body, lt, lr, density))
+        b = self.bodies[body]
+        if b.is_dynamic:
+            m, i = shape_mass_properties(shape, density, self.dim)
+            b.mass += m
+            # Parallel-axis terms are ignored for multi-collider bodies
+            # (example scenes attach at most one dynamic collider).
+            b.inertia = b.inertia + i
+        return len(self.colliders) - 1
+
+    def collider_pose(self, collider_id: int) -> Tuple[np.ndarray, np.ndarray]:
+        """(rotation, translation) of the collider in world space."""
+        c = self.colliders[collider_id]
+        b = self.bodies[c.body]
+        R = b.rotation @ c.local_rotation
+        t = b.rotation @ c.local_translation + b.translation
+        return R.astype(np.float32), t.astype(np.float32)
+
+    def body_of_collider(self, collider_id: int) -> RigidBody:
+        return self.bodies[self.colliders[collider_id].body]
+
+    def step(self, dt: float, gravity):
+        """Integrate free-body motion (gravity + velocities).
+
+        Contact resolution between rigid bodies is out of scope — the
+        example scenes rely on fluid forces and fixed geometry only.
+        """
+        gravity = np.asarray(gravity, np.float32)
+        for b in self.bodies:
+            if not b.is_dynamic:
+                continue
+            b.linvel = b.linvel + gravity * dt
+            b.translation = b.translation + b.linvel * dt
+            if self.dim == 2:
+                angle = np.arctan2(b.rotation[1, 0], b.rotation[0, 0])
+                b.rotation = _rot2(angle + float(b.angvel) * dt)
+            else:
+                b.rotation = _orthonormalize(
+                    b.rotation + dt * _skew3(b.angvel) @ b.rotation
+                )

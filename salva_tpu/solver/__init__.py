@@ -6,7 +6,7 @@ from .elasticity import (
     build_elasticity_state,
     elasticity_coefficients,
 )
-from .nonpressure import ForceSet
+from .nonpressure import CustomForce, ForceSet, MaskedCustomForce
 from .surface_tension import (
     Akinci2013SurfaceTensionForce,
     He2014SurfaceTensionForce,
@@ -29,6 +29,8 @@ __all__ = [
     "SolverDiagnostics",
     "StepContext",
     "ForceSet",
+    "CustomForce",
+    "MaskedCustomForce",
     "XSPHViscosityForce",
     "ArtificialViscosityForce",
     "DFSPHViscosityForce",

@@ -52,6 +52,45 @@ def merge_per_fluid(instances, num_fluids: int, attr: str, default=0.0):
     )
 
 
+class CustomForce:
+    """User-extensible non-pressure force — the TPU counterpart of
+    implementing the reference's ``NonPressureForce`` trait
+    (``nonpressure_force.rs:10-30``, used by
+    ``examples3d/custom_forces3.rs:67-90``).
+
+    Subclass and implement ``apply(ctx) -> accel [N, dim]`` (or
+    ``(accel [N, dim], boundary_forces [M, dim])``) as a pure, traceable
+    function of the :class:`StepContext`. The world masks the result to the
+    particles of the fluid(s) the instance is attached to.
+    """
+
+    def apply(self, ctx: StepContext):
+        raise NotImplementedError
+
+
+@dataclasses.dataclass(frozen=True, eq=False)
+class MaskedCustomForce:
+    """World-internal wrapper restricting a CustomForce to its fluids.
+
+    ``eq=False`` keeps identity hashing so the jit cache keys on the
+    instance (custom forces may close over arbitrary parameters).
+    """
+
+    force: CustomForce
+    fluid_flags: Tuple[int, ...]
+
+    def apply(self, ctx: StepContext):
+        out = self.force.apply(ctx)
+        if isinstance(out, tuple):
+            accel, bforces = out
+        else:
+            accel = out
+            bforces = jnp.zeros_like(ctx.boundaries.forces)
+        flags = jnp.asarray(self.fluid_flags, jnp.float32)[ctx.fluids.fluid_id]
+        mask = flags * ctx.fluids.alive.astype(jnp.float32)
+        return accel * mask[:, None], bforces
+
+
 @dataclasses.dataclass(frozen=True)
 class ForceSet:
     """Static, hashable bundle of all merged force configurations of a

@@ -24,6 +24,7 @@ from .geometry import GroupInfo, build_grid, evaluate_contacts, find_neighbors
 from .kernels import get_kernel
 from .object.interaction_groups import InteractionGroups
 from .object.state import BoundariesState, FluidsState
+from .solver.nonpressure import CustomForce, MaskedCustomForce
 from .solver import (
     Akinci2013SurfaceTensionForce,
     ArtificialViscosityForce,
@@ -447,13 +448,18 @@ class LiquidWorld:
     def _build_force_set(self) -> ForceSet:
         nf = self.num_fluids
         by_type: Dict[type, Dict[int, object]] = {}
+        custom: List = []
         for fid, rec in enumerate(self._fluid_records):
             if rec.removed:
                 continue
             for inst in rec.nonpressure_forces:
-                by_type.setdefault(type(inst), {})[fid] = inst
+                if isinstance(inst, CustomForce):
+                    flags = tuple(1 if i == fid else 0 for i in range(nf))
+                    custom.append(MaskedCustomForce(inst, flags))
+                else:
+                    by_type.setdefault(type(inst), {})[fid] = inst
 
-        merged = []
+        merged: List = list(custom)
         for ftype, inst in by_type.items():
             def col(attr, default=0.0):
                 return tuple(

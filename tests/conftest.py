@@ -8,7 +8,10 @@ virtual CPU devices exactly as they would across a TPU pod slice.
 import os
 import sys
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force CPU: the ambient environment may point JAX at a tunneled TPU
+# backend (JAX_PLATFORMS=axon), which is the bench target, not the test
+# target — tests must run on the virtual multi-device CPU mesh.
+os.environ["JAX_PLATFORMS"] = "cpu"
 xla_flags = os.environ.get("XLA_FLAGS", "")
 if "host_platform_device_count" not in xla_flags:
     os.environ["XLA_FLAGS"] = (
