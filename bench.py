@@ -1,0 +1,98 @@
+"""Benchmark: particle-steps/sec on the 3D DFSPH dam break.
+
+The reference publishes no numbers (BASELINE.md); the recorded target is
+the BASELINE.json north star: 1e8 particle-steps/sec at a 1M-particle 3D
+DFSPH dam break on one TPU chip. This runs the headless harness scene
+(`examples3d/harness_basic3.rs` analog) at ``BENCH_N`` particles and prints
+ONE JSON line; ``vs_baseline`` is value / 1e8.
+
+Env overrides: BENCH_N (default 100_000), BENCH_STEPS (default 20).
+"""
+
+import json
+import os
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from salva_tpu import shapes
+    from salva_tpu.config import DFSPHConfig, NeighborConfig
+    from salva_tpu.sampling import shape_surface_sample
+    from salva_tpu.scenes import cube_fluid
+    from salva_tpu.step import build_step_fn
+    from salva_tpu.world import Boundary, Fluid, LiquidWorld
+
+    target_n = int(os.environ.get("BENCH_N", "100000"))
+    steps = int(os.environ.get("BENCH_STEPS", "20"))
+    n_side = max(2, round(target_n ** (1.0 / 3.0)))
+
+    radius = 0.05
+    nb = NeighborConfig(max_neighbors=64, max_candidates=224, query_chunk=65536)
+    world = LiquidWorld(
+        solver=DFSPHConfig(),
+        particle_radius=radius,
+        smoothing_factor=2.0,
+        dim=3,
+        neighbors=nb,
+    )
+    pos = cube_fluid((n_side, n_side, n_side), radius)
+    half = n_side * radius
+    pos[:, 1] += half + 2.0 * radius  # sit just above the floor
+    world.add_fluid(Fluid(pos, density0=1000.0))
+
+    # Box floor + walls sized to the fluid block (static boundary).
+    wall = 2.0 * half + 0.5
+    box = shapes.Cuboid((wall, 0.1, wall))
+    samples = shape_surface_sample(box, radius, 3)
+    samples[:, 1] -= 0.1
+    world.add_boundary(Boundary(samples))
+
+    world._prepare()
+    step_fn = jax.jit(
+        build_step_fn(
+            world.sim, world.solver_config, world._force_set,
+            max(world.num_fluids, 1),
+        )
+    )
+    n_particles = int(np.asarray(world.fluids_state.alive).sum())
+    dt = jnp.float32(1.0 / 200.0)
+    gravity = jnp.asarray([0.0, -9.81, 0.0], jnp.float32)
+
+    def one(state):
+        fl, bd, ss = state
+        fl, bd, ss, diag = step_fn(fl, bd, ss, None, dt, gravity)
+        return (fl, bd, ss), diag
+
+    state = (world.fluids_state, world.boundaries_state, world._solver_state)
+
+    # Warmup (compile + first steps).
+    for _ in range(3):
+        state, diag = one(state)
+    jax.block_until_ready(state)
+
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        state, diag = one(state)
+    jax.block_until_ready(state)
+    elapsed = time.perf_counter() - t0
+
+    pps = n_particles * steps / elapsed
+    print(
+        json.dumps(
+            {
+                "metric": f"particle-steps/sec, {n_particles}-particle 3D DFSPH dam break",
+                "value": pps,
+                "unit": "particle-steps/s",
+                "vs_baseline": pps / 1.0e8,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,116 @@
+"""Coupling tests: boundary resampling from body poses, dynamic contact
+sampling (depenetration) and force transmission
+(`src/integrations/rapier/fluids_pipeline.rs:137-288` semantics)."""
+
+import numpy as np
+import pytest
+
+from salva_tpu import shapes
+from salva_tpu.config import NeighborConfig
+from salva_tpu.coupling import ColliderSampling, FluidsPipeline
+from salva_tpu.sampling import shape_surface_sample
+from salva_tpu.scenes import cube_fluid
+from salva_tpu.world import Boundary, Fluid
+
+RADIUS = 0.05
+NB = NeighborConfig(max_neighbors=40, max_candidates=128, query_chunk=4096)
+
+
+def _pipeline(dim=2):
+    return FluidsPipeline(RADIUS, 2.0, dim=dim, neighbors=NB)
+
+
+def test_static_sampling_tracks_body():
+    """Boundary particles follow the collider pose and carry the body's
+    point velocities (`fluids_pipeline.rs:180-191`)."""
+    pip = _pipeline()
+    body = pip.bodies.add_body("dynamic", translation=(0.0, 1.0))
+    shape = shapes.Ball(0.2)
+    co = pip.bodies.add_collider(body, shape)
+    bo = pip.liquid_world.add_boundary(Boundary(np.zeros((0, 2))))
+    samples = shape_surface_sample(shape, RADIUS, 2)
+    pip.coupling.register_coupling(bo, co, ColliderSampling.static_sampling(samples))
+    pip.bodies.bodies[body].linvel = np.array([1.0, 0.0], np.float32)
+
+    pip.step((0.0, 0.0), 0.1)
+    pts = pip.liquid_world.boundary_positions(bo)
+    assert len(pts) == len(samples)
+    # Body moved 1.0 * 0.1 in x before resampling.
+    assert abs(pts[:, 0].mean() - 0.1) < 1e-5
+    assert abs(pts[:, 1].mean() - 1.0) < 1e-5
+
+
+def test_dynamic_sampling_depenetrates_and_emits():
+    """A fluid particle inside the collider is pushed to the surface with
+    its inward velocity cancelled, and boundary particles are emitted at
+    projections (`fluids_pipeline.rs:192-255`)."""
+    pip = _pipeline()
+    # One particle inside a unit box, moving further in.
+    fl = pip.liquid_world.add_fluid(
+        Fluid(np.array([[0.0, 0.45]], np.float32),
+              velocities=np.array([[0.0, -1.0]], np.float32))
+    )
+    body = pip.bodies.add_body("fixed")
+    co = pip.bodies.add_collider(body, shapes.Cuboid((2.0, 0.5)))
+    bo = pip.liquid_world.add_boundary(Boundary(np.zeros((0, 2))))
+    pip.coupling.register_coupling(
+        bo, co, ColliderSampling.dynamic_contact_sampling()
+    )
+
+    pip.step((0.0, 0.0), 1.0 / 200.0)
+    pos = pip.liquid_world.fluid_positions(fl)
+    # Depenetrated out of the box (top surface at y = 0.5).
+    assert pos[0, 1] >= 0.5 - 1e-5
+    assert len(pip.liquid_world.boundary_positions(bo)) > 0
+
+
+def test_transmit_forces_pushes_dynamic_body():
+    """A dynamic ball resting on a fluid column receives an upward impulse
+    from pressure feedback (`fluids_pipeline.rs:263-287`)."""
+    pip = _pipeline()
+    pos = cube_positions_block()
+    pip.liquid_world.add_fluid(Fluid(pos, density0=1000.0))
+
+    # Floor under the fluid.
+    floor = np.stack(
+        [np.arange(-0.6, 0.6, 2 * RADIUS),
+         np.full(12, -2 * RADIUS)[: len(np.arange(-0.6, 0.6, 2 * RADIUS))]],
+        axis=-1,
+    ).astype(np.float32)
+    pip.liquid_world.add_boundary(Boundary(floor))
+
+    # Light dynamic ball submerged in the column.
+    body = pip.bodies.add_body("dynamic", translation=(0.0, 0.3))
+    shape = shapes.Ball(0.1)
+    co = pip.bodies.add_collider(body, shape, density=100.0)
+    bo = pip.liquid_world.add_boundary(Boundary(np.zeros((0, 2))))
+    samples = shape_surface_sample(shape, RADIUS, 2)
+    pip.coupling.register_coupling(bo, co, ColliderSampling.static_sampling(samples))
+
+    for _ in range(10):
+        pip.step((0.0, -9.81), 1.0 / 200.0)
+
+    b = pip.bodies.bodies[body]
+    # The fluid pushes back: net vertical velocity above free fall.
+    assert b.linvel[1] > -9.81 * 10 / 200.0
+    f = pip.liquid_world.boundary_forces(bo)
+    assert np.isfinite(f).all()
+
+
+def cube_positions_block():
+    xs = np.arange(-0.5, 0.5, 2 * RADIUS)
+    ys = np.arange(0.0, 0.6, 2 * RADIUS)
+    g = np.stack(np.meshgrid(xs, ys, indexing="ij"), axis=-1).reshape(-1, 2)
+    return g.astype(np.float32)
+
+
+def test_unregister_coupling():
+    pip = _pipeline()
+    body = pip.bodies.add_body("fixed")
+    co = pip.bodies.add_collider(body, shapes.Ball(0.2))
+    bo = pip.liquid_world.add_boundary(Boundary(np.zeros((0, 2))))
+    pip.coupling.register_coupling(
+        bo, co, ColliderSampling.static_sampling(np.zeros((4, 2), np.float32))
+    )
+    assert pip.coupling.unregister_coupling(co) == bo
+    assert pip.coupling.unregister_coupling(co) is None
