@@ -18,6 +18,14 @@ import numpy as np
 
 def main():
     import jax
+
+    # Compilation over the tunneled TPU backend takes minutes; cache it.
+    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             ".jax_cache")
+    os.makedirs(cache_dir, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
     import jax.numpy as jnp
 
     from salva_tpu import shapes

@@ -90,9 +90,16 @@ def compute_divergences(ctx: StepContext, velocity_changes, min_neighbors: int):
     return div, err
 
 
-def pressure_velocity_changes(ctx: StepContext, velocity_changes, bforces,
+def pressure_velocity_changes(ctx: StepContext, velocity_changes,
                               predicted_densities, alphas):
-    """One pressure iteration's velocity update (`dfsph_solver.rs:218-277`)."""
+    """One pressure iteration's velocity update (`dfsph_solver.rs:218-277`).
+
+    Returns (velocity_changes', ki_plus) where ``ki_plus`` is this
+    iteration's clamped stiffness — the boundary reaction force is linear
+    in it (the contact gradients are frozen within a substep), so the
+    caller accumulates sum(ki_plus) across iterations and performs ONE
+    deterministic scatter after the loop instead of one per iteration.
+    """
     rho0 = ctx.fluids.density0
     ki = (predicted_densities - rho0) * alphas
     ki_j = ki[ctx.ff.j]
@@ -100,36 +107,45 @@ def pressure_velocity_changes(ctx: StepContext, velocity_changes, bforces,
     coeff = jnp.where(kij > 0.0, kij * ctx.ff_mass_j(), 0.0)
     dv = -jnp.sum(ctx.ff.grad * (coeff * ctx.inv_dt)[..., None], axis=1)
 
-    ki_pos = ki > 0.0
-    coeff_b = jnp.where(ki_pos[:, None], ki[:, None] * ctx.fb_mass_j(), 0.0)
-    delta = ctx.fb.grad * (coeff_b * ctx.inv_dt)[..., None]
-    dv = dv - jnp.sum(delta, axis=1)
+    ki_plus = jnp.maximum(ki, 0.0)
+    coeff_b = ki_plus[:, None] * ctx.fb_mass_j()
+    dv = dv - jnp.sum(ctx.fb.grad * (coeff_b * ctx.inv_dt)[..., None], axis=1)
 
-    m_i = ctx.masses
-    bforces = scatter_boundary_forces(
-        bforces, ctx.fb, delta * (ctx.inv_dt * m_i)[:, None, None]
-    )
-    return velocity_changes + dv, bforces
+    return velocity_changes + dv, ki_plus
 
 
-def divergence_velocity_changes(ctx: StepContext, velocity_changes, bforces,
+def divergence_velocity_changes(ctx: StepContext, velocity_changes,
                                 divergences, alphas):
     """One divergence iteration's velocity update
-    (`dfsph_solver.rs:358-409`)."""
+    (`dfsph_solver.rs:358-409`). Returns (velocity_changes', ki); the
+    boundary force scatter is deferred like in the pressure loop."""
     ki = divergences * alphas
     kj = ki[ctx.ff.j]
     coeff = -(ki[:, None] + kj) * ctx.ff_mass_j()
     dv = jnp.sum(ctx.ff.grad * coeff[..., None], axis=1)
 
     coeff_b = -ki[:, None] * ctx.fb_mass_j()
-    delta = ctx.fb.grad * coeff_b[..., None]
-    dv = dv + jnp.sum(delta, axis=1)
+    dv = dv + jnp.sum(ctx.fb.grad * coeff_b[..., None], axis=1)
 
-    m_i = ctx.masses
-    bforces = scatter_boundary_forces(
-        bforces, ctx.fb, delta * (-ctx.inv_dt * m_i)[:, None, None]
-    )
-    return velocity_changes + dv, bforces
+    return velocity_changes + dv, ki
+
+
+def _scatter_ksum_forces(ctx: StepContext, bforces, ksum, extra_inv_dt: bool):
+    """One deferred boundary-force scatter for an accumulated stiffness sum.
+
+    The per-iteration boundary contributions (`dfsph_solver.rs:262-271`
+    pressure: grad * ki+ * fb_mass * inv_dt^2 * m_i; `:393-400` divergence:
+    grad * ki * fb_mass * inv_dt * m_i) are linear in the iteration's
+    stiffness with frozen gradients, so summing stiffness per particle and
+    scattering once is exact — and removes an [N*Kb] scatter-add from every
+    solver iteration.
+    """
+    scale = ctx.masses * ctx.inv_dt
+    if extra_inv_dt:
+        scale = scale * ctx.inv_dt
+    coeff = ksum[:, None] * ctx.fb_mass_j() * scale[:, None]
+    contrib = ctx.fb.grad * coeff[..., None]
+    return scatter_boundary_forces(bforces, ctx.fb, contrib)
 
 
 def pressure_solve(cfg: DFSPHConfig, ctx: StepContext, velocity_changes,
@@ -137,16 +153,17 @@ def pressure_solve(cfg: DFSPHConfig, ctx: StepContext, velocity_changes,
     """The constant-density loop (`dfsph_solver.rs:432-464`)."""
 
     def body(carry):
-        i, dv, bf, _, _ = carry
+        i, dv, ksum, _, _ = carry
         predicted, err = compute_predicted_densities(ctx, dv)
         converged = (err <= cfg.max_density_error) & (i >= cfg.min_pressure_iter)
 
         def do_update(args):
-            dv, bf = args
-            return pressure_velocity_changes(ctx, dv, bf, predicted, alphas)
+            dv, ksum = args
+            dv, ki = pressure_velocity_changes(ctx, dv, predicted, alphas)
+            return dv, ksum + ki
 
-        dv, bf = jax.lax.cond(converged, lambda a: a, do_update, (dv, bf))
-        return i + 1, dv, bf, err, converged
+        dv, ksum = jax.lax.cond(converged, lambda a: a, do_update, (dv, ksum))
+        return i + 1, dv, ksum, err, converged
 
     def cond(carry):
         i, _, _, _, done = carry
@@ -155,12 +172,13 @@ def pressure_solve(cfg: DFSPHConfig, ctx: StepContext, velocity_changes,
     init = (
         jnp.zeros((), jnp.int32),
         velocity_changes,
-        bforces,
+        jnp.zeros_like(alphas),
         jnp.zeros((), jnp.float32),
         jnp.zeros((), bool),
     )
-    iters, dv, bf, err, _ = jax.lax.while_loop(cond, body, init)
-    return dv, bf, iters, err
+    iters, dv, ksum, err, _ = jax.lax.while_loop(cond, body, init)
+    bforces = _scatter_ksum_forces(ctx, bforces, ksum, extra_inv_dt=True)
+    return dv, bforces, iters, err
 
 
 def divergence_solve(cfg: DFSPHConfig, ctx: StepContext, velocity_changes,
@@ -170,16 +188,17 @@ def divergence_solve(cfg: DFSPHConfig, ctx: StepContext, velocity_changes,
     max_err = cfg.max_divergence_error * ctx.inv_dt * 0.01
 
     def body(carry):
-        i, dv, bf, _, _ = carry
+        i, dv, ksum, _, _ = carry
         div, err = compute_divergences(ctx, dv, min_neighbors)
         converged = (err <= max_err) & (i >= cfg.min_divergence_iter)
 
         def do_update(args):
-            dv, bf = args
-            return divergence_velocity_changes(ctx, dv, bf, div, alphas)
+            dv, ksum = args
+            dv, ki = divergence_velocity_changes(ctx, dv, div, alphas)
+            return dv, ksum + ki
 
-        dv, bf = jax.lax.cond(converged, lambda a: a, do_update, (dv, bf))
-        return i + 1, dv, bf, err, converged
+        dv, ksum = jax.lax.cond(converged, lambda a: a, do_update, (dv, ksum))
+        return i + 1, dv, ksum, err, converged
 
     def cond(carry):
         i, _, _, _, done = carry
@@ -188,12 +207,13 @@ def divergence_solve(cfg: DFSPHConfig, ctx: StepContext, velocity_changes,
     init = (
         jnp.zeros((), jnp.int32),
         velocity_changes,
-        bforces,
+        jnp.zeros_like(alphas),
         jnp.zeros((), jnp.float32),
         jnp.zeros((), bool),
     )
-    iters, dv, bf, err, _ = jax.lax.while_loop(cond, body, init)
-    return dv, bf, iters, err
+    iters, dv, ksum, err, _ = jax.lax.while_loop(cond, body, init)
+    bforces = _scatter_ksum_forces(ctx, bforces, ksum, extra_inv_dt=False)
+    return dv, bforces, iters, err
 
 
 def step(
