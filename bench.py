@@ -37,24 +37,31 @@ def main():
 
     target_n = int(os.environ.get("BENCH_N", "100000"))
     steps = int(os.environ.get("BENCH_STEPS", "20"))
+    layout = os.environ.get("BENCH_LAYOUT", "auto")
     n_side = max(2, round(target_n ** (1.0 / 3.0)))
 
     radius = 0.05
     nb = NeighborConfig(max_neighbors=64, max_candidates=224, query_chunk=65536)
+    half = n_side * radius
+    wall = 2.0 * half + 0.5
+    domain = (
+        (-wall - 0.3, -0.4, -wall - 0.3),
+        (wall + 0.3, 2.0 * half + 1.0, wall + 0.3),
+    )
     world = LiquidWorld(
         solver=DFSPHConfig(),
         particle_radius=radius,
         smoothing_factor=2.0,
         dim=3,
         neighbors=nb,
+        domain=domain,
+        layout=layout,
     )
     pos = cube_fluid((n_side, n_side, n_side), radius)
-    half = n_side * radius
     pos[:, 1] += half + 2.0 * radius  # sit just above the floor
     world.add_fluid(Fluid(pos, density0=1000.0))
 
     # Box floor + walls sized to the fluid block (static boundary).
-    wall = 2.0 * half + 0.5
     box = shapes.Cuboid((wall, 0.1, wall))
     samples = shape_surface_sample(box, radius, 3)
     samples[:, 1] -= 0.1

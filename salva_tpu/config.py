@@ -105,6 +105,17 @@ class SimConfig:
     particle_radius: float = 0.05
     smoothing_factor: float = 2.0
     neighbors: NeighborConfig = NeighborConfig()
+    # Compute layout. "gather": [N, K] neighbor tables (general; any
+    # domain). "dense": binned cell grid with shifted dense pair math —
+    # the fast TPU path; requires a static ``domain`` box. "auto": dense
+    # whenever a domain is set and the configuration supports it.
+    layout: str = "auto"
+    # Static simulation domain ((mins...), (maxs...)) enabling the dense
+    # layout. Particles leaving the box are clamped to its border cells.
+    domain: Optional[tuple] = None
+    # Dense layout capacities: max particles per cell (cell width = h).
+    dense_cap: int = 12
+    dense_cap_boundary: int = 24
     # Number of solver substeps per `step` call. The reference's
     # TimestepManager currently always runs exactly one substep per step
     # (``timestep_manager.rs:87-94``), so 1 is the faithful default.

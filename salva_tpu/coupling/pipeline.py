@@ -25,6 +25,8 @@ class FluidsPipeline:
         dim: int = 3,
         solver=None,
         neighbors: Optional[NeighborConfig] = None,
+        domain=None,
+        layout: str = "auto",
     ):
         self.liquid_world = LiquidWorld(
             solver=solver if solver is not None else DFSPHConfig(),
@@ -32,6 +34,8 @@ class FluidsPipeline:
             smoothing_factor=smoothing_factor,
             dim=dim,
             neighbors=neighbors,
+            domain=domain,
+            layout=layout,
         )
         self.bodies = RigidBodyWorld(dim)
         self.coupling = ColliderCouplingSet(self.bodies)

@@ -1,0 +1,203 @@
+"""Dense binned cell grid: the gather-free TPU compute layout.
+
+Motivation (measured on TPU): the ``[N, K]`` neighbor-table path costs
+~2.4 s per neighbor search and ~5 ms per solver iteration at 27k
+particles — XLA TPU random gathers/scatters run ~70x off HBM bandwidth.
+This module rebins particles into a dense ``[cap, C]`` cell layout once
+per substep; every solver stage then reads neighbor data by *shifting the
+cell axis* (27 static offsets in 3D, 9 in 2D) — one ``jnp.roll`` on the
+minor axis, no gathers — and computes dense ``[cap_i, cap_j, C]`` pair
+interactions on the VPU with the large cell axis on the 128-wide lanes.
+
+This is the TPU-native re-architecture of the reference's
+per-occupied-cell rayon parallelism (``contacts.rs:154-252``): the same
+cell decomposition (cell width = kernel radius h, ``contacts.rs:165``),
+but cells form a static box grid so "the 27 neighbor cells" is an index
+shift instead of a hash lookup.
+
+Correctness of the flat shift: cells are flattened row-major and every
+particle is clamped into the *interior* (a one-cell ghost ring at each
+face stays empty). A flat roll by ``(dx*ny + dy)*nz + dz`` equals the true
+(dx, dy, dz) cell shift for every interior cell; rolls that carry across
+an axis source ghost cells only, whose shifted occupancy mask is zero —
+so wrong-cell reads are always masked out.
+
+Determinism: ranks within a cell follow the stable sort order of
+(cell, particle index) — the dense-layout analog of the reference's
+deterministic FNV hashing (``hgrid.rs:10-18``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+
+@dataclasses.dataclass(frozen=True)
+class DenseGridSpec:
+    """Static geometry of the binned grid (hashable; jit-static)."""
+
+    origin: Tuple[float, ...]
+    dims: Tuple[int, ...]  # number of cells per axis (incl. ghost ring)
+    cap: int  # max particles per cell
+    cell_width: float
+
+    def __post_init__(self):
+        if any(d < 3 for d in self.dims):
+            raise ValueError("grid dims must be >= 3 (ghost ring)")
+
+    @property
+    def dim(self) -> int:
+        return len(self.dims)
+
+    @property
+    def num_cells(self) -> int:
+        return int(np.prod(self.dims))
+
+    def flat_shift(self, offset) -> int:
+        """Flat-index delta of a cell offset (row-major)."""
+        s = 0
+        for d, off in zip(self.dims, offset):
+            s = s * d + off
+        return s
+
+    def replace(self, **kw) -> "DenseGridSpec":
+        return dataclasses.replace(self, **kw)
+
+
+def spec_for_aabb(mins, maxs, h: float, cap: int, margin_cells: int = 2
+                  ) -> DenseGridSpec:
+    """Spec covering [mins, maxs] with >= ``margin_cells`` ghost/margin
+    cells on every face (at least one must stay empty; clamping keeps it
+    so)."""
+    mins = np.asarray(mins, np.float64)
+    maxs = np.asarray(maxs, np.float64)
+    margin = max(margin_cells, 1)
+    origin = mins - margin * h
+    dims = np.ceil((maxs - origin) / h).astype(int) + margin
+    dims = np.maximum(dims, 3)
+    return DenseGridSpec(
+        origin=tuple(float(v) for v in origin),
+        dims=tuple(int(v) for v in dims),
+        cap=cap,
+        cell_width=float(h),
+    )
+
+
+class Binned(NamedTuple):
+    """A particle set bound to grid slots.
+
+    - ``slot_of``: [N] int32 flat slot (cell * cap + rank); non-fitting
+      particles (dead / cell overflow) point at the out-of-bounds slot
+      ``C * cap`` which scatters drop;
+    - ``in_grid``: [N] bool;
+    - ``mask``: [cap, C] f32 slot occupancy;
+    - ``overflow``: [] int32 particles dropped by full cells;
+    - ``clamped``: [] int32 particles clamped into the interior box.
+    """
+
+    slot_of: jnp.ndarray
+    in_grid: jnp.ndarray
+    mask: jnp.ndarray
+    overflow: jnp.ndarray
+    clamped: jnp.ndarray
+
+
+def cell_of(spec: DenseGridSpec, positions):
+    """Flat interior-clamped cell id of each position + clamp mask."""
+    origin = jnp.asarray(spec.origin, positions.dtype)
+    dims = jnp.asarray(spec.dims, jnp.int32)
+    c = jnp.floor((positions - origin) / spec.cell_width).astype(jnp.int32)
+    clamped_mask = jnp.any((c < 1) | (c >= dims - 1), axis=-1)
+    c = jnp.clip(c, 1, dims - 2)
+    flat = c[..., 0]
+    for axis in range(1, spec.dim):
+        flat = flat * spec.dims[axis] + c[..., axis]
+    return flat, clamped_mask
+
+
+def bin_particles(spec: DenseGridSpec, positions, alive) -> Binned:
+    """Assign each alive particle a (cell, rank) slot (deterministic)."""
+    n = positions.shape[0]
+    cell, clamped_mask = cell_of(spec, positions)
+    key = jnp.where(alive, cell, jnp.int32(spec.num_cells))
+    order = jnp.argsort(key, stable=True)
+    sorted_key = key[order]
+    idx = jnp.arange(n, dtype=jnp.int32)
+    first = jnp.searchsorted(sorted_key, sorted_key, side="left").astype(
+        jnp.int32
+    )
+    rank_sorted = idx - first
+    rank = jnp.zeros((n,), jnp.int32).at[order].set(rank_sorted)
+
+    fits = alive & (rank < spec.cap)
+    oob = spec.num_cells * spec.cap
+    slot = jnp.where(fits, cell * spec.cap + rank, oob)
+    mask = (
+        jnp.zeros((spec.num_cells * spec.cap,), jnp.float32)
+        .at[slot]
+        .set(1.0, mode="drop")
+        .reshape(spec.num_cells, spec.cap)
+        .T
+    )
+    overflow = jnp.sum((alive & (rank >= spec.cap)).astype(jnp.int32))
+    clamped = jnp.sum((alive & clamped_mask).astype(jnp.int32))
+    return Binned(
+        slot_of=slot,
+        in_grid=fits,
+        mask=mask,
+        overflow=overflow,
+        clamped=clamped,
+    )
+
+
+def to_grid(spec: DenseGridSpec, binned: Binned, values, fill=0.0):
+    """Scatter per-particle values into grid layout.
+
+    [N] -> [cap, C]; [N, D] -> [D, cap, C] (component-major so all
+    elementwise math runs with the big cell axis on the lanes).
+    """
+    if values.ndim == 1:
+        flat = jnp.full((spec.num_cells * spec.cap,), fill, values.dtype)
+        flat = flat.at[binned.slot_of].set(values, mode="drop")
+        return flat.reshape(spec.num_cells, spec.cap).T
+    return jnp.stack(
+        [to_grid(spec, binned, values[:, d], fill) for d in range(values.shape[1])]
+    )
+
+
+def from_grid(spec: DenseGridSpec, binned: Binned, grid_values, default=0.0):
+    """Gather per-particle values back: [cap, C] -> [N];
+    [D, cap, C] -> [N, D]. The only gather in the dense path (one per
+    array per substep)."""
+    if grid_values.ndim == 2:
+        flat = grid_values.T.reshape(-1)
+        out = flat[jnp.minimum(binned.slot_of, flat.shape[0] - 1)]
+        return jnp.where(binned.in_grid, out, default)
+    return jnp.stack(
+        [from_grid(spec, binned, grid_values[d], default)
+         for d in range(grid_values.shape[0])],
+        axis=-1,
+    )
+
+
+def shift_j(spec: DenseGridSpec, arr, offset):
+    """View of a [..., C] grid array where cell c sees cell c + offset."""
+    s = spec.flat_shift(offset)
+    if s == 0:
+        return arr
+    return jnp.roll(arr, -s, axis=-1)
+
+
+def neighbor_offsets(dim: int):
+    if dim == 2:
+        return [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)]
+    return [
+        (dx, dy, dz)
+        for dx in (-1, 0, 1)
+        for dy in (-1, 0, 1)
+        for dz in (-1, 0, 1)
+    ]

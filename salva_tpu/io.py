@@ -51,6 +51,10 @@ def save_world(world, path: str):
         "n_substeps": world.sim.n_substeps,
         "kernel_density": world.sim.kernel_density,
         "kernel_gradient": world.sim.kernel_gradient,
+        "layout": world.sim.layout,
+        "domain": world.sim.domain,
+        "dense_cap": world.sim.dense_cap,
+        "dense_cap_boundary": world.sim.dense_cap_boundary,
         "neighbors": dataclasses.asdict(world.sim.neighbors),
         "solver_kind": world.solver_config.kind,
         "solver": {
@@ -123,6 +127,10 @@ def load_world(path: str):
         dim=meta["dim"],
         neighbors=NeighborConfig(**meta["neighbors"]),
         n_substeps=meta["n_substeps"],
+        layout=meta.get("layout", "auto"),
+        domain=meta.get("domain"),
+        dense_cap=meta.get("dense_cap", 12),
+        dense_cap_boundary=meta.get("dense_cap_boundary", 24),
     )
     world.sim = world.sim.replace(
         kernel_density=meta["kernel_density"],

@@ -62,6 +62,41 @@ def init_solver_state(solver_cfg, capacity: int, dim: int):
     raise ValueError(f"unknown solver kind {solver_cfg.kind!r}")
 
 
+def _dense_config(sim: SimConfig, solver_cfg, forces: ForceSet):
+    """Resolve the dense-layout configuration, or None for gather layout.
+
+    The dense binned path (``solver/dfsph_dense.py``) requires a static
+    ``sim.domain`` box, the DFSPH solver, and dense implementations of
+    every attached force; ``layout="auto"`` falls back to the general
+    gather path otherwise, ``layout="dense"`` raises.
+    """
+    from .solver.forces_dense import to_dense_forces
+
+    if sim.layout == "gather":
+        return None
+    reasons = []
+    if sim.domain is None:
+        reasons.append("sim.domain is not set")
+    if solver_cfg.kind != "dfsph":
+        reasons.append(f"solver {solver_cfg.kind!r} has no dense path yet")
+    dense_forces = to_dense_forces(forces)
+    if dense_forces is None:
+        reasons.append("a non-pressure force has no dense implementation")
+    if reasons:
+        if sim.layout == "dense":
+            raise ValueError(
+                "layout='dense' not possible: " + "; ".join(reasons)
+            )
+        return None
+
+    from .geometry.dense_grid import spec_for_aabb
+
+    mins, maxs = sim.domain
+    spec_f = spec_for_aabb(mins, maxs, sim.h, sim.dense_cap)
+    spec_b = spec_f.replace(cap=sim.dense_cap_boundary)
+    return spec_f, spec_b, dense_forces
+
+
 def build_substep_fn(
     sim: SimConfig,
     solver_cfg,
@@ -69,6 +104,14 @@ def build_substep_fn(
     num_fluids: int,
 ):
     """Build the pure substep function for a fixed static configuration."""
+    dense = _dense_config(sim, solver_cfg, forces)
+    if dense is not None:
+        from .solver.dfsph_dense import build_dense_substep
+
+        spec_f, spec_b, dense_forces = dense
+        return build_dense_substep(
+            sim, solver_cfg, num_fluids, spec_f, spec_b, dense_forces
+        )
     h = sim.h
     dim = sim.dim
     nb = sim.neighbors

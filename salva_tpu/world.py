@@ -123,6 +123,10 @@ class LiquidWorld:
         neighbors: Optional[NeighborConfig] = None,
         n_substeps: int = 1,
         adaptive_timestep: bool = False,
+        domain=None,
+        layout: str = "auto",
+        dense_cap: int = 12,
+        dense_cap_boundary: int = 24,
     ):
         self.solver_config = solver if solver is not None else DFSPHConfig()
         self.sim = SimConfig(
@@ -131,6 +135,14 @@ class LiquidWorld:
             smoothing_factor=smoothing_factor,
             neighbors=neighbors or NeighborConfig(),
             n_substeps=n_substeps,
+            layout=layout,
+            domain=(
+                tuple(tuple(float(v) for v in side) for side in domain)
+                if domain is not None
+                else None
+            ),
+            dense_cap=dense_cap,
+            dense_cap_boundary=dense_cap_boundary,
         )
         self.counters = Counters()
         self.timestep_manager = TimestepManager(

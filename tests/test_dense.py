@@ -1,0 +1,135 @@
+"""Dense binned layout: binning round-trip + physics equivalence with the
+gather path (same reference semantics, two executions)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from salva_tpu.config import DFSPHConfig, NeighborConfig
+from salva_tpu.geometry import dense_grid as dg
+from salva_tpu.world import Boundary, Fluid, LiquidWorld
+
+from util import cube_positions
+
+RADIUS = 0.05
+H = RADIUS * 2.0 * 2.0
+DOMAIN_2D = ((-1.5, -0.5), (1.5, 2.0))
+
+
+def test_bin_roundtrip():
+    spec = dg.spec_for_aabb((0.0, 0.0, 0.0), (1.0, 1.0, 1.0), 0.2, cap=8)
+    key = jax.random.PRNGKey(0)
+    pos = jax.random.uniform(key, (200, 3), jnp.float32, 0.0, 1.0)
+    alive = jnp.arange(200) % 5 != 0
+    binned = dg.bin_particles(spec, pos, alive)
+    assert int(binned.overflow) == 0
+    assert int(binned.clamped) == 0
+    vals = jnp.arange(200, dtype=jnp.float32)
+    grid = dg.to_grid(spec, binned, vals, fill=-1.0)
+    back = dg.from_grid(spec, binned, grid, default=-7.0)
+    np.testing.assert_array_equal(
+        np.asarray(back)[np.asarray(alive)], np.asarray(vals)[np.asarray(alive)]
+    )
+    np.testing.assert_array_equal(
+        np.asarray(back)[~np.asarray(alive)], -7.0
+    )
+    # occupancy mask counts exactly the alive particles
+    assert int(binned.mask.sum()) == int(alive.sum())
+    # vector round-trip
+    grid3 = dg.to_grid(spec, binned, pos)
+    back3 = dg.from_grid(spec, binned, grid3, default=0.0)
+    np.testing.assert_allclose(
+        np.asarray(back3)[np.asarray(alive)],
+        np.asarray(pos)[np.asarray(alive)],
+        rtol=0, atol=0,
+    )
+
+
+def test_bin_overflow_counted():
+    spec = dg.spec_for_aabb((0.0, 0.0), (1.0, 1.0), 10.0, cap=4)
+    pos = jnp.zeros((10, 2), jnp.float32)  # all in one cell, cap 4
+    binned = dg.bin_particles(spec, pos, jnp.ones((10,), bool))
+    assert int(binned.overflow) == 6
+    assert int(binned.mask.sum()) == 4
+
+
+def _dam_worlds():
+    """Identical 2D dam-break scenes on the two layouts."""
+    def build(layout):
+        world = LiquidWorld(
+            solver=DFSPHConfig(),
+            particle_radius=RADIUS,
+            dim=2,
+            neighbors=NeighborConfig(max_neighbors=64, max_candidates=160,
+                                     query_chunk=4096),
+            domain=DOMAIN_2D,
+            layout=layout,
+        )
+        pos = cube_positions(8, RADIUS, 2, origin=(-0.9, 0.02))
+        fl = world.add_fluid(Fluid(pos, density0=1000.0))
+        xs = np.arange(-1.2, 1.2, 2 * RADIUS, dtype=np.float32)
+        floor = np.stack([xs, np.full_like(xs, -2 * RADIUS)], axis=-1)
+        ys = np.arange(0.0, 1.0, 2 * RADIUS, dtype=np.float32)
+        left = np.stack([np.full_like(ys, -1.2), ys], axis=-1)
+        right = np.stack([np.full_like(ys, 1.2), ys], axis=-1)
+        bd = world.add_boundary(
+            Boundary(np.concatenate([floor, left, right]))
+        )
+        return world, fl, bd
+
+    return build("gather"), build("dense")
+
+
+def test_dense_matches_gather():
+    (wg, flg, bdg), (wd, fld, bdd) = _dam_worlds()
+    for _ in range(20):
+        wg.step(1.0 / 200.0, (0.0, -9.81))
+        wd.step(1.0 / 200.0, (0.0, -9.81))
+    pg = wg.fluid_positions(flg)
+    pd = wd.fluid_positions(fld)
+    np.testing.assert_allclose(pg, pd, atol=5e-4)
+    vg = wg.fluid_velocities(flg)
+    vd = wd.fluid_velocities(fld)
+    np.testing.assert_allclose(vg, vd, atol=5e-3)
+    # Boundary force feedback agrees.
+    fg = wg.boundary_forces(bdg)
+    fd = wd.boundary_forces(bdd)
+    np.testing.assert_allclose(fg.sum(axis=0), fd.sum(axis=0), rtol=2e-2,
+                               atol=1.0)
+    dg_ = wg.last_diagnostics
+    dd = wd.last_diagnostics
+    assert int(dd.neighbor_overflow) == 0
+    assert int(dd.ncontacts_ff) == int(dg_.ncontacts_ff)
+
+
+def test_dense_layout_requires_domain():
+    with pytest.raises(ValueError):
+        world = LiquidWorld(
+            solver=DFSPHConfig(), particle_radius=RADIUS, dim=2,
+            layout="dense",
+        )
+        world.add_fluid(Fluid(cube_positions(3, RADIUS, 2)))
+        world.step(1.0 / 200.0, (0.0, -9.81))
+
+
+def test_dense_with_artificial_viscosity():
+    from salva_tpu import forces
+
+    world = LiquidWorld(
+        solver=DFSPHConfig(), particle_radius=RADIUS, dim=2,
+        domain=DOMAIN_2D, layout="dense",
+    )
+    pos = cube_positions(6, RADIUS, 2, origin=(-0.5, 0.02))
+    fl = world.add_fluid(
+        Fluid(pos, density0=1000.0,
+              nonpressure_forces=[forces.ArtificialViscosity(0.5, 0.0)])
+    )
+    xs = np.arange(-1.2, 1.2, 2 * RADIUS, dtype=np.float32)
+    floor = np.stack([xs, np.full_like(xs, -2 * RADIUS)], axis=-1)
+    world.add_boundary(Boundary(floor))
+    for _ in range(10):
+        world.step(1.0 / 200.0, (0.0, -9.81))
+    p = world.fluid_positions(fl)
+    assert np.isfinite(p).all()
+    assert p[:, 1].min() > -0.2
