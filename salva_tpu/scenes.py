@@ -157,8 +157,14 @@ def _register_dynamic_sampling(pipeline, body, shape,
 def basic3(nparticles: int = 15, particle_radius: float = 0.05,
            neighbors: Optional[NeighborConfig] = None) -> Scene:
     """3D dam break in a static-sampled box (`examples3d/basic3.rs`)."""
-    pip = FluidsPipeline(particle_radius, 2.0, dim=3, neighbors=neighbors)
     ground_thickness, ground_half_width, ground_half_height = 0.2, 2.5, 0.7
+    top = ground_thickness + 2.0 * nparticles * particle_radius + 1.0
+    domain = (
+        (-ground_half_width - 0.4, -0.6, -ground_half_width - 0.4),
+        (ground_half_width + 0.4, max(2.0, top), ground_half_width + 0.4),
+    )
+    pip = FluidsPipeline(particle_radius, 2.0, dim=3, neighbors=neighbors,
+                         domain=domain)
 
     pos = cube_fluid((nparticles,) * 3, particle_radius)
     pos[:, 1] += ground_thickness + nparticles * particle_radius
