@@ -88,6 +88,14 @@ def shape_surface_sample(shape, particle_radius: float, dim: int = 3):
     (the `shape_surface_ray_sample` equivalent, `sampling/mod.rs:3-5`)."""
     if isinstance(shape, shp.Heightfield):
         return _heightfield_surface(shape, particle_radius)
+    if isinstance(shape, shp.TriMesh):
+        from ..native import trimesh_surface_sample
+
+        return trimesh_surface_sample(
+            np.asarray(shape.vertices, np.float32),
+            np.asarray(shape.indices, np.int32),
+            particle_radius,
+        )
     mins, maxs = _shape_aabb(shape, dim)
     return surface_sample_sdf(
         lambda p: shape.sdf(np.asarray(p)), mins, maxs, particle_radius
@@ -97,6 +105,14 @@ def shape_surface_sample(shape, particle_radius: float, dim: int = 3):
 def shape_volume_sample(shape, particle_radius: float, dim: int = 3):
     """Volume sample of an analytic shape in its local frame
     (`shape_volume_ray_sample` equivalent)."""
+    if isinstance(shape, shp.TriMesh):
+        from ..native import trimesh_volume_sample
+
+        return trimesh_volume_sample(
+            np.asarray(shape.vertices, np.float32),
+            np.asarray(shape.indices, np.int32),
+            particle_radius,
+        )
     mins, maxs = _shape_aabb(shape, dim)
     return volume_sample_sdf(
         lambda p: shape.sdf(np.asarray(p)), mins, maxs, particle_radius

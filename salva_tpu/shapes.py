@@ -118,7 +118,33 @@ class Heightfield:
         return p[..., 1] - self._height_at(xz)
 
 
-SHAPES = (Ball, Cuboid, Capsule, HalfSpace, Heightfield)
+@dataclasses.dataclass(frozen=True)
+class TriMesh:
+    """Triangle mesh (host-side shape for boundary sampling).
+
+    Sampled through the native ray-cast sampler (``salva_tpu.native``),
+    covering the reference's parry TriMesh support in
+    ``shape_surface_ray_sample`` (`ray_sampling.rs`). No on-device SDF, so
+    it supports StaticSampling coupling but not DynamicContactSampling.
+    ``vertices``/``indices`` are stored as nested tuples to stay hashable.
+    """
+
+    vertices: Tuple[Tuple[float, float, float], ...]
+    indices: Tuple[Tuple[int, int, int], ...]
+
+    @staticmethod
+    def from_arrays(vertices, indices) -> "TriMesh":
+        import numpy as np
+
+        v = np.asarray(vertices, np.float32).reshape(-1, 3)
+        t = np.asarray(indices, np.int32).reshape(-1, 3)
+        return TriMesh(
+            tuple(tuple(float(x) for x in row) for row in v),
+            tuple(tuple(int(x) for x in row) for row in t),
+        )
+
+
+SHAPES = (Ball, Cuboid, Capsule, HalfSpace, Heightfield, TriMesh)
 
 
 def sdf_normal(shape, p):
