@@ -260,8 +260,305 @@ class ArtificialViscosityDense:
         return accel, Fb
 
 
+@dataclasses.dataclass(frozen=True)
+class Akinci2013SurfaceTensionDense:
+    """Dense Akinci 2013 cohesion + curvature + boundary adhesion
+    (`akinci2013_surface_tension.rs`)."""
+
+    fluid_tension_coefficients: Tuple[float, ...]
+    boundary_adhesion_coefficients: Tuple[float, ...]
+
+    def apply(self, f: DenseFields):
+        from ..kernels import sph
+
+        kg_w, kg_dw = get_kernel(f.kernel_gradient)
+        coeff = per_slot(self.fluid_tension_coefficients, f.FID)
+        badh = per_slot(self.boundary_adhesion_coefficients, f.FID)
+
+        def dwr_of(r2):
+            r = jnp.sqrt(r2)
+            safe = jnp.where(r > EPSILON, r, 1.0)
+            return jnp.where(r > EPSILON, kg_dw(r, f.h, f.dim) / safe, 0.0)
+
+        # Pass 1: normals n_i = h sum m_j / rho_j grad (`:43-68`).
+        N = jnp.zeros_like(f.P)
+        for dpos, r2, within, j in _pairs(
+            f.spec_f, f.dim, f.h, f.P, f.maskf, f.P, f.maskf,
+            {"m": f.M, "rho": f.RHO, "fid": f.FID},
+        ):
+            dwr = dwr_of(r2)
+            ok = within & (f.FID[:, None, :] == j["fid"][None, :, :])
+            s = jnp.where(
+                ok, j["m"][None, :, :] / jnp.maximum(j["rho"][None, :, :], EPSILON), 0.0
+            ) * dwr
+            N = N + jnp.stack(
+                [f.h * jnp.sum(dpos[d] * s, axis=1) for d in range(f.dim)]
+            )
+
+        # Pass 2: cohesion + curvature (`:137-165`).
+        accel = jnp.zeros_like(f.P)
+        for dpos, r2, within, j in _pairs(
+            f.spec_f, f.dim, f.h, f.P, f.maskf, f.P, f.maskf,
+            {"vol": f.VOL, "rho": f.RHO, "fid": f.FID, "n": N},
+        ):
+            r = jnp.sqrt(r2)
+            safe = jnp.where(r > EPSILON, r, 1.0)
+            coh_w = sph.cohesion_kernel(r, f.h, f.dim)
+            coh_s = jnp.where(
+                r > EPSILON,
+                -coeff[:, None, :] * j["vol"][None, :, :]
+                * f.R0[:, None, :] * coh_w / safe,
+                0.0,
+            )
+            kij = 2.0 * f.R0[:, None, :] / jnp.maximum(
+                f.RHO[:, None, :] + j["rho"][None, :, :], EPSILON
+            )
+            ok = within & (f.FID[:, None, :] == j["fid"][None, :, :])
+            w_all = jnp.where(ok, kij, 0.0)
+            accel = accel + jnp.stack(
+                [
+                    jnp.sum(
+                        (dpos[d] * coh_s
+                         - coeff[:, None, :]
+                         * (N[d][:, None, :] - j["n"][d][None, :, :]))
+                        * w_all,
+                        axis=1,
+                    )
+                    for d in range(f.dim)
+                ]
+            )
+
+        # Pass 3: boundary adhesion (`:167-190`).
+        any_b = any(v != 0.0 for v in self.boundary_adhesion_coefficients)
+        Fb = None
+        if any_b:
+            for dpos, r2, within, j in _pairs(
+                f.spec_f, f.dim, f.h, f.P, f.maskf, f.Pb, f.maskb,
+                {"vol": f.Volb},
+            ):
+                r = jnp.sqrt(r2)
+                safe = jnp.where(r > EPSILON, r, 1.0)
+                adh = sph.adhesion_kernel(r, f.h, f.dim)
+                s = jnp.where(
+                    within & (r > EPSILON),
+                    badh[:, None, :] * j["vol"][None, :, :]
+                    * f.R0[:, None, :] * adh / safe,
+                    0.0,
+                )
+                accel = accel - jnp.stack(
+                    [jnp.sum(dpos[d] * s, axis=1) for d in range(f.dim)]
+                )
+            # Feedback (owner = boundary): F_b += sum_i adh_acc_i * m_i.
+            ci = badh * f.R0 * f.M
+            Fb = jnp.zeros_like(f.Pb)
+            for dpos, r2, within, j in _pairs(
+                f.spec_b, f.dim, f.h, f.Pb, f.maskb, f.P, f.maskf,
+                {"c": ci},
+            ):
+                r = jnp.sqrt(r2)
+                safe = jnp.where(r > EPSILON, r, 1.0)
+                adh = sph.adhesion_kernel(r, f.h, f.dim)
+                s = jnp.where(
+                    within & (r > EPSILON),
+                    j["c"][None, :, :] * f.Volb[:, None, :] * adh / safe,
+                    0.0,
+                )
+                # dir from i to b as seen from owner b: -dpos (dpos = pb-pi).
+                Fb = Fb - jnp.stack(
+                    [jnp.sum(dpos[d] * s, axis=1) for d in range(f.dim)]
+                )
+        return accel, Fb
+
+
+@dataclasses.dataclass(frozen=True)
+class WCSPHSurfaceTensionDense:
+    """Dense WCSPH position-difference cohesion
+    (`wcsph_surface_tension.rs`; boundary loop fixed as in the gather
+    implementation)."""
+
+    fluid_tension_coefficients: Tuple[float, ...]
+    boundary_tension_coefficients: Tuple[float, ...]
+
+    def apply(self, f: DenseFields):
+        kd_w, _ = get_kernel(f.kernel_density)
+        coeff = per_slot(self.fluid_tension_coefficients, f.FID)
+        bcoeff = per_slot(self.boundary_tension_coefficients, f.FID)
+        safe_vol = jnp.where(f.VOL > 0, f.VOL, 1.0)
+        accel = jnp.zeros_like(f.P)
+
+        for dpos, r2, within, j in _pairs(
+            f.spec_f, f.dim, f.h, f.P, f.maskf, f.P, f.maskf,
+            {"vol": f.VOL, "fid": f.FID},
+        ):
+            w = kd_w(jnp.sqrt(r2), f.h, f.dim)
+            ok = within & (f.FID[:, None, :] == j["fid"][None, :, :])
+            scale = jnp.where(
+                ok,
+                -coeff[:, None, :] * w * j["vol"][None, :, :]
+                / safe_vol[:, None, :],
+                0.0,
+            )
+            accel = accel + jnp.stack(
+                [jnp.sum(dpos[d] * scale, axis=1) for d in range(f.dim)]
+            )
+
+        any_b = any(v != 0.0 for v in self.boundary_tension_coefficients)
+        Fb = None
+        if any_b:
+            safe_m = jnp.where(f.M > 0, f.M, 1.0)
+            for dpos, r2, within, j in _pairs(
+                f.spec_f, f.dim, f.h, f.P, f.maskf, f.Pb, f.maskb,
+                {"vol": f.Volb},
+            ):
+                w = kd_w(jnp.sqrt(r2), f.h, f.dim)
+                scale = jnp.where(
+                    within,
+                    bcoeff[:, None, :] * w * j["vol"][None, :, :]
+                    * f.R0[:, None, :],
+                    0.0,
+                )
+                accel = accel - jnp.stack(
+                    [jnp.sum(dpos[d] * scale, axis=1) / safe_m
+                     for d in range(f.dim)]
+                )
+            ci = bcoeff * f.R0
+            Fb = jnp.zeros_like(f.Pb)
+            for dpos, r2, within, j in _pairs(
+                f.spec_b, f.dim, f.h, f.Pb, f.maskb, f.P, f.maskf,
+                {"c": ci},
+            ):
+                w = kd_w(jnp.sqrt(r2), f.h, f.dim)
+                scale = jnp.where(
+                    within, j["c"][None, :, :] * f.Volb[:, None, :] * w, 0.0
+                )
+                # forceb in fluid frame used dposb = p_i - p_b = -dpos here.
+                Fb = Fb - jnp.stack(
+                    [jnp.sum(dpos[d] * scale, axis=1) for d in range(f.dim)]
+                )
+        return accel, Fb
+
+
+@dataclasses.dataclass(frozen=True)
+class He2014SurfaceTensionDense:
+    """Dense He 2014 color-field surface tension
+    (`he2014_surface_tension.rs`)."""
+
+    fluid_tension_coefficients: Tuple[float, ...]
+    boundary_tension_coefficients: Tuple[float, ...]
+
+    def apply(self, f: DenseFields):
+        kd_w, _ = get_kernel(f.kernel_density)
+        kg_w, kg_dw = get_kernel(f.kernel_gradient)
+        coeff = per_slot(self.fluid_tension_coefficients, f.FID)
+        bcoeff = per_slot(self.boundary_tension_coefficients, f.FID)
+
+        def dwr_of(r2):
+            r = jnp.sqrt(r2)
+            safe = jnp.where(r > EPSILON, r, 1.0)
+            return jnp.where(r > EPSILON, kg_dw(r, f.h, f.dim) / safe, 0.0)
+
+        vol_over_rho = f.M / jnp.maximum(f.RHO, EPSILON)
+
+        # Pass 1: colors (`:40-75`).
+        colors = jnp.zeros_like(f.maskf)
+        for dpos, r2, within, j in _pairs(
+            f.spec_f, f.dim, f.h, f.P, f.maskf, f.P, f.maskf,
+            {"vr": vol_over_rho, "fid": f.FID},
+        ):
+            w = kd_w(jnp.sqrt(r2), f.h, f.dim)
+            ok = within & (f.FID[:, None, :] == j["fid"][None, :, :])
+            colors = colors + jnp.sum(
+                jnp.where(ok, w * j["vr"][None, :, :], 0.0), axis=1
+            )
+        for dpos, r2, within, j in _pairs(
+            f.spec_f, f.dim, f.h, f.P, f.maskf, f.Pb, f.maskb,
+            {"vol": f.Volb},
+        ):
+            w = kd_w(jnp.sqrt(r2), f.h, f.dim)
+            colors = colors + jnp.sum(
+                jnp.where(within, w * j["vol"][None, :, :], 0.0), axis=1
+            )
+
+        # Pass 2: |grad c|^2 (`:77-105`).
+        safe_colors = jnp.where(jnp.abs(colors) > 0, colors, 1.0)
+        gradc = jnp.zeros_like(f.P)
+        for dpos, r2, within, j in _pairs(
+            f.spec_f, f.dim, f.h, f.P, f.maskf, f.P, f.maskf,
+            {"vr": vol_over_rho, "c": colors, "fid": f.FID},
+        ):
+            dwr = dwr_of(r2)
+            ok = within & (f.FID[:, None, :] == j["fid"][None, :, :])
+            s = jnp.where(ok, j["c"][None, :, :] * j["vr"][None, :, :], 0.0) * dwr
+            gradc = gradc + jnp.stack(
+                [jnp.sum(dpos[d] * s, axis=1) for d in range(f.dim)]
+            )
+        gradc = gradc / safe_colors[None]
+        gradcs = jnp.sum(gradc * gradc, axis=0)
+
+        # Pass 3: fluid force (`:138-158`).
+        m_over_rho = f.M / jnp.maximum(f.RHO, EPSILON)
+        safe_m = jnp.where(f.M > 0, f.M, 1.0)
+        accel = jnp.zeros_like(f.P)
+        for dpos, r2, within, j in _pairs(
+            f.spec_f, f.dim, f.h, f.P, f.maskf, f.P, f.maskf,
+            {"mr": m_over_rho, "g": gradcs, "fid": f.FID},
+        ):
+            dwr = dwr_of(r2)
+            ok = within & (f.FID[:, None, :] == j["fid"][None, :, :])
+            s = jnp.where(
+                ok,
+                m_over_rho[:, None, :] * j["mr"][None, :, :]
+                * (gradcs[:, None, :] + j["g"][None, :, :]) * 0.5,
+                0.0,
+            ) * dwr
+            accel = accel + jnp.stack(
+                [jnp.sum(dpos[d] * s, axis=1) for d in range(f.dim)]
+            )
+        accel = accel * (coeff / (2.0 * safe_m))[None]
+
+        # Pass 4: boundary force (`:160-178`) + feedback.
+        any_b = any(v != 0.0 for v in self.boundary_tension_coefficients)
+        Fb = None
+        if any_b:
+            for dpos, r2, within, j in _pairs(
+                f.spec_f, f.dim, f.h, f.P, f.maskf, f.Pb, f.maskb,
+                {"vol": f.Volb},
+            ):
+                dwr = dwr_of(r2)
+                s = jnp.where(
+                    within,
+                    (f.M / jnp.maximum(f.RHO, EPSILON))[:, None, :]
+                    * j["vol"][None, :, :] * gradcs[:, None, :]
+                    * bcoeff[:, None, :] * 0.25,
+                    0.0,
+                ) * dwr
+                accel = accel + jnp.stack(
+                    [jnp.sum(dpos[d] * s, axis=1) / safe_m
+                     for d in range(f.dim)]
+                )
+            ci = (f.M / jnp.maximum(f.RHO, EPSILON)) * gradcs * bcoeff * 0.25
+            Fb = jnp.zeros_like(f.Pb)
+            for dpos, r2, within, j in _pairs(
+                f.spec_b, f.dim, f.h, f.Pb, f.maskb, f.P, f.maskf,
+                {"c": ci},
+            ):
+                dwr = dwr_of(r2)
+                s = jnp.where(within, j["c"][None, :, :] * f.Volb[:, None, :], 0.0) * dwr
+                # fb_f in fluid frame = grad_i * s = -dpos*dwr*s (dpos here
+                # is p_b - p_i); feedback = -fb_f = +dpos*dwr*s.
+                Fb = Fb + jnp.stack(
+                    [jnp.sum(dpos[d] * s, axis=1) for d in range(f.dim)]
+                )
+        return accel, Fb
+
+
 def to_dense_force(force) -> Optional[object]:
     """Dense counterpart of a gather-layout force config, or None."""
+    from .surface_tension import (
+        Akinci2013SurfaceTensionForce,
+        He2014SurfaceTensionForce,
+        WCSPHSurfaceTensionForce,
+    )
     from .viscosity import ArtificialViscosityForce, XSPHViscosityForce
 
     if isinstance(force, XSPHViscosityForce):
@@ -275,6 +572,21 @@ def to_dense_force(force) -> Optional[object]:
             force.alphas,
             force.betas,
             force.speeds_of_sound,
+        )
+    if isinstance(force, Akinci2013SurfaceTensionForce):
+        return Akinci2013SurfaceTensionDense(
+            force.fluid_tension_coefficients,
+            force.boundary_adhesion_coefficients,
+        )
+    if isinstance(force, WCSPHSurfaceTensionForce):
+        return WCSPHSurfaceTensionDense(
+            force.fluid_tension_coefficients,
+            force.boundary_tension_coefficients,
+        )
+    if isinstance(force, He2014SurfaceTensionForce):
+        return He2014SurfaceTensionDense(
+            force.fluid_tension_coefficients,
+            force.boundary_tension_coefficients,
         )
     return None
 

@@ -159,6 +159,11 @@ class LiquidWorld:
         self._fluid_records: List[_FluidRecord] = []
         self._boundary_records: List[_BoundaryRecord] = []
 
+        # Failure-detection mode (SURVEY.md §5.3): after each step, verify
+        # state finiteness and surface overflow diagnostics as errors
+        # instead of silent degradation.
+        self.debug_checks = False
+
         self._force_set: Optional[ForceSet] = None
         self._elasticity_state = None
         self._elasticity_dirty = False
@@ -673,6 +678,36 @@ class LiquidWorld:
                     + self.last_diagnostics.ncontacts_fb
                 )
         self.counters.step_time.pause()
+        if self.debug_checks:
+            self._run_debug_checks()
+
+    def _run_debug_checks(self):
+        """Failure detection (SURVEY.md §5.3): raise on non-finite state,
+        warn on capacity overflow — the structured equivalent of the
+        reference's asserts/clamps (`dfsph_solver.rs:92,662`)."""
+        import warnings
+
+        d = self.last_diagnostics
+        if d is not None:
+            if int(d.neighbor_overflow) > 0:
+                warnings.warn(
+                    f"neighbor capacity overflow: {int(d.neighbor_overflow)}"
+                    " entries dropped — physics degraded; raise "
+                    "max_neighbors / dense_cap"
+                )
+            if int(d.candidate_overflow) > 0:
+                warnings.warn(
+                    "candidate window / domain overflow: "
+                    f"{int(d.candidate_overflow)} (particles clamped or "
+                    "candidates truncated)"
+                )
+        pos = np.asarray(self.fluids_state.positions)
+        alive = np.asarray(self.fluids_state.alive)
+        if not np.isfinite(pos[alive]).all():
+            raise FloatingPointError(
+                "non-finite fluid positions after step (instability: reduce "
+                "dt or check force coefficients)"
+            )
 
     # -- ordering / queries ------------------------------------------------
 

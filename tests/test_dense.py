@@ -113,6 +113,51 @@ def test_dense_layout_requires_domain():
         world.step(1.0 / 200.0, (0.0, -9.81))
 
 
+def _force_world(layout, np_forces):
+    world = LiquidWorld(
+        solver=DFSPHConfig(), particle_radius=RADIUS, dim=2,
+        neighbors=NeighborConfig(max_neighbors=64, max_candidates=160,
+                                 query_chunk=4096),
+        domain=DOMAIN_2D, layout=layout,
+    )
+    pos = cube_positions(6, RADIUS, 2, origin=(-0.3, 0.02))
+    fl = world.add_fluid(
+        Fluid(pos, density0=1000.0, nonpressure_forces=list(np_forces))
+    )
+    xs = np.arange(-1.2, 1.2, 2 * RADIUS, dtype=np.float32)
+    floor = np.stack([xs, np.full_like(xs, -2 * RADIUS)], axis=-1)
+    bd = world.add_boundary(Boundary(floor))
+    return world, fl, bd
+
+
+def _forces_cases():
+    from salva_tpu import forces as fz
+
+    return [
+        pytest.param([fz.XSPHViscosity(0.5, 0.5)], id="xsph"),
+        pytest.param([fz.ArtificialViscosity(0.5, 0.3)], id="artificial"),
+        pytest.param([fz.Akinci2013SurfaceTension(1.0, 1.0)], id="akinci"),
+        pytest.param([fz.WCSPHSurfaceTension(1.0, 0.5)], id="wcsph"),
+        pytest.param([fz.He2014SurfaceTension(1.0, 0.5)], id="he2014"),
+    ]
+
+
+@pytest.mark.parametrize("np_forces", _forces_cases())
+def test_dense_forces_match_gather(np_forces):
+    wg, flg, bdg = _force_world("gather", np_forces)
+    wd, fld, bdd = _force_world("dense", np_forces)
+    for _ in range(10):
+        wg.step(1.0 / 200.0, (0.0, -9.81))
+        wd.step(1.0 / 200.0, (0.0, -9.81))
+    pg = wg.fluid_positions(flg)
+    pd = wd.fluid_positions(fld)
+    assert np.isfinite(pd).all()
+    np.testing.assert_allclose(pg, pd, atol=1e-3)
+    fg = wg.boundary_forces(bdg).sum(axis=0)
+    fd = wd.boundary_forces(bdd).sum(axis=0)
+    np.testing.assert_allclose(fg, fd, rtol=5e-2, atol=2.0)
+
+
 def test_dense_with_artificial_viscosity():
     from salva_tpu import forces
 
