@@ -1,0 +1,162 @@
+"""IISPH on the dense binned cell grid.
+
+Same physics and termination as ``iisph.py`` /
+``src/solver/pressure/iisph_solver.rs:643-711``, reformulated gather-free
+(see ``dfsph_dense.py`` for the layout). Hoisting derivation:
+
+- ``d_ii = -dt^2 / rho_i^2 (Gf_i + Gb_i)`` — iteration-invariant
+  (`iisph_solver.rs:144-186`);
+- ``a_ii = d_ii . (Gf + Gb) - factor_i * s2_m`` with
+  ``factor_i = dt^2 m_i / rho_i^2`` and ``s2_m = sum m_j |grad|^2``
+  (`:188-233`);
+- per Jacobi iteration (`:235-353`): two pair passes —
+  ``D_i = dij_pjl = -dt^2 K(p_j / rho_j^2)`` (a ``k_pass``), then
+  ``sum_ff = D_i . Gf_i - T(q) + p_i factor_i s2_ff`` with the per-slot
+  vector ``q_j = d_jj p_j + D_j`` (a ``t_pass``); the boundary part is
+  ``D_i . Gb_i``.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..config import IISPHConfig, SimConfig
+from ..geometry import dense_grid as dg
+from ..object.state import BoundariesState, FluidsState
+from .common import SolverDiagnostics
+from .dense_common import DenseCtx, per_fluid_mean_max_grid
+
+
+def build_dense_substep(sim: SimConfig, cfg: IISPHConfig, num_fluids: int,
+                        spec_f: dg.DenseGridSpec, spec_b: dg.DenseGridSpec,
+                        dense_forces=()):
+    dim = sim.dim
+
+    def substep(fluids: FluidsState, boundaries: BoundariesState,
+                pressures, es, dt, gravity):
+        del es
+        dt = jnp.asarray(dt, jnp.float32)
+        inv_dt = jnp.where(dt > 0, 1.0 / dt, 0.0)
+        dt2 = dt * dt
+        boundaries = boundaries.clear_forces()
+
+        ctx = DenseCtx(sim, spec_f, spec_b, fluids, boundaries)
+        maskf, live, R0 = ctx.maskf, ctx.live, ctx.R0
+        P_grid = ctx.to_f(pressures)
+
+        # predict_advection: gravity + non-pressure forces.
+        A = jnp.asarray(gravity, jnp.float32).reshape(dim, 1, 1) * maskf[None]
+        np_Fb = jnp.zeros_like(ctx.Pb)
+        if dense_forces:
+            from .forces_dense import DenseFields
+
+            fields = DenseFields(
+                spec_f=spec_f, spec_b=spec_b, P=ctx.P, V=ctx.V, M=ctx.M,
+                VOL=ctx.to_f(fluids.volumes), R0=R0, RHO=ctx.rho,
+                FID=ctx.FID, maskf=maskf, Pb=ctx.Pb, Vbvel=ctx.Vbvel,
+                Volb=ctx.Volb, maskb=ctx.maskb, h=sim.h, dim=dim,
+                inv_dt=inv_dt, kernel_density=sim.kernel_density,
+                kernel_gradient=sim.kernel_gradient,
+            )
+            for force in dense_forces:
+                a_d, fb_d = force.apply(fields)
+                A = A + a_d * maskf[None]
+                if fb_d is not None:
+                    np_Fb = np_Fb + fb_d
+        DV = A * dt
+
+        rho_safe = jnp.maximum(ctx.rho, 1e-12)
+        inv_rho2 = 1.0 / (rho_safe * rho_safe)
+
+        # d_ii and a_ii (`iisph_solver.rs:144-233`).
+        dii = -(dt2 * inv_rho2)[None] * ctx.Gsum
+        factor_i = dt2 * ctx.M * inv_rho2
+        aii = jnp.sum(dii * ctx.Gsum, axis=0) - factor_i * ctx.s2_m
+
+        # Warm start (`:673-677`) and predicted densities (`:92-142`).
+        P_grid = P_grid * 0.5
+        predicted = ctx.rho + ctx.delta_density(ctx.V + DV) * dt
+
+        derr = R0 - predicted
+        usable = jnp.abs(aii) > 1.0e-9
+        safe_aii = jnp.where(usable, aii, 1.0)
+
+        def body(carry):
+            i, p, _, _ = carry
+            # Pass 1: D = dij_pjl (`:235-268`).
+            D = -dt2 * ctx.k_pass(p * inv_rho2)
+            # Pass 2: q_j = d_jj p_j + D_j reduction (`:270-353`).
+            q = dii * p[None] + D
+            t_q = ctx.t_pass(q)
+            sum_all = (
+                jnp.sum(D * ctx.Gsum, axis=0)  # D_i . (Gf + Gb)
+                - t_q
+                + p * factor_i * ctx.s2_ff
+            )
+            candidate = (1.0 - cfg.omega) * p + cfg.omega * (derr - sum_all) / safe_aii
+            positive = candidate > 0.0
+            next_p = jnp.where(usable & positive & live,
+                               jnp.maximum(candidate, 0.0), 0.0)
+            err_i = jnp.where(
+                usable & positive, (-sum_all - aii * next_p) / R0, 0.0
+            )
+            err = per_fluid_mean_max_grid(err_i, ctx.FID, maskf, num_fluids)
+            converged = (err <= cfg.max_density_error) & (i >= cfg.min_pressure_iter)
+            return i + 1, next_p, err, converged
+
+        def cond(carry):
+            i, _, _, done = carry
+            return (i < cfg.max_pressure_iter) & jnp.logical_not(done)
+
+        iters, P_grid, err, _ = jax.lax.while_loop(
+            cond, body,
+            (jnp.zeros((), jnp.int32), P_grid, jnp.zeros((), jnp.float32),
+             jnp.zeros((), bool)),
+        )
+
+        # Velocity changes from final pressures (`:355-404`).
+        p_over_rho2 = P_grid * inv_rho2
+        K = ctx.k_pass(p_over_rho2)
+        DV = DV - dt * (p_over_rho2[None] * ctx.Gf + K)
+        DV = DV - dt * p_over_rho2[None] * ctx.Gb
+
+        # Boundary feedback: per-contact force = grad * fbm * p/rho_i^2 *
+        # m_i (`:393-400`).
+        coef = R0 * ctx.M * p_over_rho2
+        Fb = ctx.boundary_forces(coef) + np_Fb
+
+        # Semi-implicit integration (`:406-420`).
+        V2 = ctx.V + DV * maskf[None]
+        P2 = ctx.P + V2 * (dt * maskf[None])
+
+        new_pos = ctx.unbin_f(P2, fluids.positions)
+        new_vel = ctx.unbin_f(V2, fluids.velocities)
+        new_pressures = ctx.unbin_f(P_grid, pressures)
+        fluids = fluids.replace(positions=new_pos, velocities=new_vel)
+        boundaries = boundaries.replace(
+            forces=ctx.unbin_b(Fb, boundaries.forces * 0.0)
+        )
+
+        from ..step import StepDiagnostics
+
+        zero_i = jnp.zeros((), jnp.int32)
+        zero_f = jnp.zeros((), jnp.float32)
+        diag = StepDiagnostics(
+            solver=SolverDiagnostics(
+                pressure_iters=iters,
+                pressure_error=err,
+                divergence_iters=zero_i,
+                divergence_error=zero_f,
+            ),
+            ncontacts_ff=jnp.sum(jnp.where(live, ctx.cnt_ff, 0)),
+            ncontacts_fb=jnp.sum(jnp.where(live, ctx.cnt_fb, 0)),
+            neighbor_overflow=ctx.binf.overflow + ctx.binb.overflow,
+            candidate_overflow=ctx.binf.clamped + ctx.binb.clamped,
+            max_density_ratio=jnp.max(
+                jnp.where(live, ctx.rho / R0, 0.0), initial=0.0
+            ),
+        )
+        return fluids, boundaries, new_pressures, diag
+
+    return substep

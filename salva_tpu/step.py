@@ -77,8 +77,8 @@ def _dense_config(sim: SimConfig, solver_cfg, forces: ForceSet):
     reasons = []
     if sim.domain is None:
         reasons.append("sim.domain is not set")
-    if solver_cfg.kind != "dfsph":
-        reasons.append(f"solver {solver_cfg.kind!r} has no dense path yet")
+    if solver_cfg.kind not in ("dfsph", "iisph"):
+        reasons.append(f"solver {solver_cfg.kind!r} has no dense path")
     dense_forces = to_dense_forces(forces)
     if dense_forces is None:
         reasons.append("a non-pressure force has no dense implementation")
@@ -106,7 +106,10 @@ def build_substep_fn(
     """Build the pure substep function for a fixed static configuration."""
     dense = _dense_config(sim, solver_cfg, forces)
     if dense is not None:
-        from .solver.dfsph_dense import build_dense_substep
+        if solver_cfg.kind == "dfsph":
+            from .solver.dfsph_dense import build_dense_substep
+        else:
+            from .solver.iisph_dense import build_dense_substep
 
         spec_f, spec_b, dense_forces = dense
         return build_dense_substep(

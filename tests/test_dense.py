@@ -6,7 +6,7 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from salva_tpu.config import DFSPHConfig, NeighborConfig
+from salva_tpu.config import DFSPHConfig, IISPHConfig, NeighborConfig
 from salva_tpu.geometry import dense_grid as dg
 from salva_tpu.world import Boundary, Fluid, LiquidWorld
 
@@ -101,6 +101,38 @@ def test_dense_matches_gather():
     dd = wd.last_diagnostics
     assert int(dd.neighbor_overflow) == 0
     assert int(dd.ncontacts_ff) == int(dg_.ncontacts_ff)
+
+
+def test_dense_iisph_matches_gather():
+    def build(layout):
+        world = LiquidWorld(
+            solver=IISPHConfig(),
+            particle_radius=RADIUS,
+            dim=2,
+            neighbors=NeighborConfig(max_neighbors=64, max_candidates=160,
+                                     query_chunk=4096),
+            domain=DOMAIN_2D,
+            layout=layout,
+        )
+        pos = cube_positions(7, RADIUS, 2, origin=(-0.5, 0.02))
+        fl = world.add_fluid(Fluid(pos, density0=1000.0))
+        xs = np.arange(-1.2, 1.2, 2 * RADIUS, dtype=np.float32)
+        floor = np.stack([xs, np.full_like(xs, -2 * RADIUS)], axis=-1)
+        bd = world.add_boundary(Boundary(floor))
+        return world, fl, bd
+
+    wg, flg, bdg = build("gather")
+    wd, fld, bdd = build("dense")
+    for _ in range(15):
+        wg.step(1.0 / 200.0, (0.0, -9.81))
+        wd.step(1.0 / 200.0, (0.0, -9.81))
+    pg = wg.fluid_positions(flg)
+    pd = wd.fluid_positions(fld)
+    assert np.isfinite(pd).all()
+    np.testing.assert_allclose(pg, pd, atol=1e-3)
+    fg = wg.boundary_forces(bdg).sum(axis=0)
+    fd = wd.boundary_forces(bdd).sum(axis=0)
+    np.testing.assert_allclose(fg, fd, rtol=5e-2, atol=1.0)
 
 
 def test_dense_layout_requires_domain():
