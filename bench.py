@@ -96,6 +96,19 @@ def main():
     jax.block_until_ready(state)
     elapsed = time.perf_counter() - t0
 
+    if os.environ.get("BENCH_DEBUG"):
+        import sys
+
+        print(
+            f"[debug] {elapsed / steps * 1e3:.1f} ms/step; last step: "
+            f"pressure_iters={int(diag.solver.pressure_iters)} "
+            f"div_iters={int(diag.solver.divergence_iters)} "
+            f"p_err={float(diag.solver.pressure_error):.4f} "
+            f"overflow={int(diag.neighbor_overflow)} "
+            f"max_rho_ratio={float(diag.max_density_ratio):.3f}",
+            file=sys.stderr,
+        )
+
     pps = n_particles * steps / elapsed
     print(
         json.dumps(

@@ -283,7 +283,10 @@ def surface_tension2() -> Scene:
 def surface_tension3() -> Scene:
     """3D droplet (`examples3d/surface_tension3.rs:39-60`)."""
     r = 0.005
-    pip = FluidsPipeline(r, 2.0, dim=3)
+    pip = FluidsPipeline(
+        r, 2.0, dim=3,
+        domain=((-0.3, -0.1, -0.3), (0.3, 0.3, 0.3)),
+    )
     pos = cube_fluid((7, 7, 7), r)
     pos[:, 1] += 0.08
     fl = pip.liquid_world.add_fluid(
@@ -395,7 +398,10 @@ def faucet3(particle_radius: float = 0.0125) -> Scene:
     """Emitter + deletion (`examples3d/faucet3.rs:69-105`): a 10x10 particle
     sheet is emitted every 0.06 s at y=0.6 above a static ball; particles
     below y=-2 are deleted."""
-    pip = FluidsPipeline(particle_radius, 2.0, dim=3)
+    pip = FluidsPipeline(
+        particle_radius, 2.0, dim=3,
+        domain=((-1.2, -2.3, -1.2), (1.2, 0.9, 1.2)),
+    )
     fl = pip.liquid_world.add_fluid(
         Fluid(np.zeros((0, 3), np.float32), density0=1000.0,
               nonpressure_forces=[
@@ -447,7 +453,10 @@ def heightfield3() -> Scene:
     """Fluid block launched downward at a sin/cos heightfield
     (`examples3d/heightfield3.rs`)."""
     r = 0.1
-    pip = FluidsPipeline(r, 2.0, dim=3)
+    pip = FluidsPipeline(
+        r, 2.0, dim=3,
+        domain=((-6.5, -1.5, -6.5), (6.5, 5.5, 6.5)),
+    )
     n = 14
     pos = cube_fluid((n, n, n), r)
     pos[:, 1] += 3.0

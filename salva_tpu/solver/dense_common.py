@@ -198,43 +198,102 @@ class DenseCtx:
 
     # -- per-iteration passes -----------------------------------------------
 
-    def t_pass(self, Q):
-        """T_i = sum_ff m_j (Q_j . grad_ij) for a per-slot vector Q."""
+    def _sym_blocks(self):
+        """Yield (dwr, within, mj_shifted_dict, is_self, offset) for the
+        half stencil: the zero offset plus one of each {+d, -d} pair.
+
+        The dense analog of the reference's half-stencil cell-pair walk
+        (``contacts.rs:202-220``): each cell-pair block is evaluated once
+        (one distance/kernel evaluation) and consumed by BOTH sides — the
+        mirrored contribution is reduced over the i axis and rolled onto
+        the neighbor cells. Halves the kernel-eval work of the hot
+        per-iteration passes.
+        """
         kg_w, kg_dw = self.kg
         dim, h = self.dim, self.h
-
-        def body(acc, dpos, r2, within, j):
+        h2 = h * h
+        half = [
+            off for off in dg.neighbor_offsets(dim)
+            if off > tuple([0] * dim)
+        ]
+        for off in [tuple([0] * dim)] + half:
+            pj = dg.shift_j(self.spec_f, self.P, off)
+            mj = dg.shift_j(self.spec_f, self.maskf, off)
+            dpos = [
+                self.P[d][:, None, :] - pj[d][None, :, :] for d in range(dim)
+            ]
+            r2 = dpos[0] * dpos[0]
+            for d in range(1, dim):
+                r2 = r2 + dpos[d] * dpos[d]
+            within = (
+                (r2 <= h2)
+                & (self.maskf[:, None, :] > 0)
+                & (mj[None, :, :] > 0)
+            )
             _, dwr = w_dwr(r2, h, dim, kg_w, kg_dw)
-            mj = jnp.where(within, j["m"][None, :, :], 0.0)
-            t = jnp.zeros_like(r2)
-            for d in range(dim):
-                t = t + j["q"][d][None, :, :] * dpos[d]
-            return acc + jnp.sum(t * dwr * mj, axis=1)
+            yield dpos, dwr, within, off
 
-        return pair_fold(
-            self.spec_f, dim, h, self.P, self.maskf, self.P, self.maskf,
-            {"m": self.M, "q": Q}, body, jnp.zeros_like(self.maskf),
-        )
+    def t_pass(self, Q):
+        """T_i = sum_ff m_j (Q_j . grad_ij) for a per-slot vector Q
+        (half-stencil: each block also contributes m_i Q_i . grad_ji to
+        its mirror side)."""
+        dim = self.dim
+        spec = self.spec_f
+        acc = jnp.zeros_like(self.maskf)
+        for dpos, dwr, within, off in self._sym_blocks():
+            is_self = off == tuple([0] * dim)
+            mj = dg.shift_j(spec, self.M, off)
+            qj = dg.shift_j(spec, Q, off)
+            t = jnp.zeros_like(dwr)
+            for d in range(dim):
+                t = t + qj[d][None, :, :] * dpos[d]
+            acc = acc + jnp.sum(
+                jnp.where(within, t * dwr * mj[None, :, :], 0.0), axis=1
+            )
+            if not is_self:
+                # Mirror: grad_ji = -dpos; i-side arrays unshifted.
+                tm = jnp.zeros_like(dwr)
+                for d in range(dim):
+                    tm = tm - Q[d][:, None, :] * dpos[d]
+                s = jnp.sum(
+                    jnp.where(within, tm * dwr * self.M[:, None, :], 0.0),
+                    axis=0,
+                )
+                acc = acc + dg.shift_j(
+                    spec, s, tuple(-o for o in off)
+                )
+        return acc
 
     def k_pass(self, K):
-        """K_i = sum_ff k_j m_j grad_ij for a per-slot scalar k."""
-        kg_w, kg_dw = self.kg
-        dim, h = self.dim, self.h
-
-        def body(acc, dpos, r2, within, j):
-            _, dwr = w_dwr(r2, h, dim, kg_w, kg_dw)
-            coeff = jnp.where(
-                within, j["k"][None, :, :] * j["m"][None, :, :], 0.0
-            )
-            return jnp.stack(
-                [acc[d] + jnp.sum(dpos[d] * dwr * coeff, axis=1)
+        """K_i = sum_ff k_j m_j grad_ij for a per-slot scalar k
+        (half-stencil, mirrored like t_pass)."""
+        dim = self.dim
+        spec = self.spec_f
+        acc = jnp.zeros_like(self.P)
+        for dpos, dwr, within, off in self._sym_blocks():
+            is_self = off == tuple([0] * dim)
+            mj = dg.shift_j(spec, self.M, off)
+            kj = dg.shift_j(spec, K, off)
+            coeff = jnp.where(within, kj[None, :, :] * mj[None, :, :] * dwr, 0.0)
+            acc = jnp.stack(
+                [acc[d] + jnp.sum(dpos[d] * coeff, axis=1)
                  for d in range(dim)]
             )
-
-        return pair_fold(
-            self.spec_f, dim, h, self.P, self.maskf, self.P, self.maskf,
-            {"m": self.M, "k": K}, body, jnp.zeros_like(self.P),
-        )
+            if not is_self:
+                coeff_m = jnp.where(
+                    within, K[:, None, :] * self.M[:, None, :] * dwr, 0.0
+                )
+                neg_off = tuple(-o for o in off)
+                acc = jnp.stack(
+                    [
+                        acc[d]
+                        + dg.shift_j(
+                            spec, jnp.sum(-dpos[d] * coeff_m, axis=0), neg_off
+                        )
+                        for d in range(dim)
+                    ]
+                )
+        return acc
 
     def delta_density(self, Vp):
         """sum m_j (v_i'-v_j').grad + boundary term, via hoisted sums:
