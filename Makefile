@@ -1,0 +1,30 @@
+# Developer entry points (the reference's CI equivalents: build matrix ->
+# pytest on the virtual 8-device CPU mesh; examples build -> scene smoke).
+
+PY ?= python
+
+.PHONY: test test-fast scenes bench entry-check clean
+
+test:
+	$(PY) -m pytest tests/ -x -q
+
+test-fast:
+	$(PY) -m pytest tests/test_kernels.py tests/test_neighbors.py \
+		tests/test_native.py tests/test_viz.py -q
+
+scenes:
+	$(PY) examples/run_scene.py --list
+
+bench:
+	$(PY) bench.py
+
+entry-check:
+	PYTHONPATH= JAX_PLATFORMS=cpu \
+	XLA_FLAGS=--xla_force_host_platform_device_count=8 \
+	$(PY) -c "import sys; sys.path.insert(0, '.'); import jax; \
+	import __graft_entry__ as g; fn, a = g.entry(); \
+	jax.block_until_ready(jax.jit(fn)(*a)); g.dryrun_multichip(8); \
+	print('entry + multichip OK')"
+
+clean:
+	rm -rf native/build .jax_cache

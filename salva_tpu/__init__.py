@@ -32,4 +32,27 @@ __all__ = [
     "group",
     "ALL",
     "NONE",
+    "LiquidWorld",
+    "Fluid",
+    "Boundary",
+    "FluidsPipeline",
+    "CustomForce",
 ]
+
+
+def __getattr__(name):
+    """Lazy top-level conveniences (avoid importing jax-heavy modules at
+    package import time)."""
+    if name in ("LiquidWorld", "Fluid", "Boundary"):
+        from . import world
+
+        return getattr(world, name)
+    if name == "FluidsPipeline":
+        from .coupling import FluidsPipeline
+
+        return FluidsPipeline
+    if name == "CustomForce":
+        from .solver.nonpressure import CustomForce
+
+        return CustomForce
+    raise AttributeError(f"module 'salva_tpu' has no attribute {name!r}")

@@ -620,6 +620,22 @@ class LiquidWorld:
         """Advance the simulation by dt seconds (`liquid_world.rs:62-64`)."""
         self.step_with_coupling(dt, gravity, None)
 
+    def _effective_sim(self) -> SimConfig:
+        """Layout auto-tuning: with ``layout="auto"``, fall back to the
+        gather path when the dense grid would be mostly vacuum (slot count
+        far beyond the particle capacity) — dense wins on dense fluids,
+        loses on tiny particle sets in large domains."""
+        sim = self.sim
+        if sim.layout != "auto" or sim.domain is None:
+            return sim
+        mins, maxs = sim.domain
+        cells = 1
+        for lo, hi in zip(mins, maxs):
+            cells *= max(int(np.ceil((hi - lo) / sim.h)) + 4, 3)
+        if cells * sim.dense_cap > 64 * self.fluids_state.capacity:
+            return sim.replace(layout="gather")
+        return sim
+
     def step_with_coupling(self, dt: float, gravity, coupling):
         """Advance with two-way rigid-body coupling
         (`liquid_world.rs:67-158`). ``coupling`` follows the
@@ -630,7 +646,8 @@ class LiquidWorld:
         gravity = jnp.asarray(gravity, jnp.float32)
         num_fluids = max(self.num_fluids, 1)
         step_fn = get_jitted_step_fn(
-            self.sim, self.solver_config, self._force_set, num_fluids
+            self._effective_sim(), self.solver_config, self._force_set,
+            num_fluids,
         )
 
         tm = self.timestep_manager
