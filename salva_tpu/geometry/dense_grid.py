@@ -87,6 +87,13 @@ def spec_for_aabb(mins, maxs, h: float, cap: int, margin_cells: int = 2
     )
 
 
+# Position fill for empty slots: far outside any domain, so every pair
+# term involving an empty slot vanishes through the kernel's compact
+# support (dW = W = 0 beyond h) — hot pair passes then need no occupancy
+# masks at all (empty slots also carry zero mass/volume factors).
+POS_SENTINEL = 1.0e6
+
+
 class Binned(NamedTuple):
     """A particle set bound to grid slots.
 

@@ -89,14 +89,21 @@ class DenseCtx:
         self.binb = dg.bin_particles(
             spec_b, boundaries.positions, boundaries.alive
         )
-        self.P = dg.to_grid(spec_f, self.binf, fluids.positions)
+        # Positions fill with the far sentinel: all pair terms against
+        # empty slots vanish via kernel support (see dense_grid docstring),
+        # so the hot passes run mask-free.
+        self.P = dg.to_grid(
+            spec_f, self.binf, fluids.positions, fill=dg.POS_SENTINEL
+        )
         self.V = dg.to_grid(spec_f, self.binf, fluids.velocities)
         self.M = dg.to_grid(spec_f, self.binf, fluids.masses)
         self.R0 = dg.to_grid(spec_f, self.binf, fluids.density0, fill=1.0)
         self.FID = dg.to_grid(spec_f, self.binf, fluids.fluid_id, fill=-1)
         self.maskf = self.binf.mask
         self.live = self.maskf > 0
-        self.Pb = dg.to_grid(spec_b, self.binb, boundaries.positions)
+        self.Pb = dg.to_grid(
+            spec_b, self.binb, boundaries.positions, fill=dg.POS_SENTINEL
+        )
         self.Vbvel = dg.to_grid(spec_b, self.binb, boundaries.velocities)
         self.maskb = self.binb.mask
 
@@ -199,39 +206,33 @@ class DenseCtx:
     # -- per-iteration passes -----------------------------------------------
 
     def _sym_blocks(self):
-        """Yield (dwr, within, mj_shifted_dict, is_self, offset) for the
-        half stencil: the zero offset plus one of each {+d, -d} pair.
+        """Yield (dpos, dwr, offset) for the half stencil: the zero offset
+        plus one of each {+d, -d} pair.
 
         The dense analog of the reference's half-stencil cell-pair walk
         (``contacts.rs:202-220``): each cell-pair block is evaluated once
         (one distance/kernel evaluation) and consumed by BOTH sides — the
         mirrored contribution is reduced over the i axis and rolled onto
-        the neighbor cells. Halves the kernel-eval work of the hot
-        per-iteration passes.
+        the neighbor cells. No occupancy masks: empty slots sit at the far
+        position sentinel, so dwr vanishes through kernel support, and
+        every term carries a zero j-side mass/volume factor.
         """
         kg_w, kg_dw = self.kg
         dim, h = self.dim, self.h
-        h2 = h * h
         half = [
             off for off in dg.neighbor_offsets(dim)
             if off > tuple([0] * dim)
         ]
         for off in [tuple([0] * dim)] + half:
             pj = dg.shift_j(self.spec_f, self.P, off)
-            mj = dg.shift_j(self.spec_f, self.maskf, off)
             dpos = [
                 self.P[d][:, None, :] - pj[d][None, :, :] for d in range(dim)
             ]
             r2 = dpos[0] * dpos[0]
             for d in range(1, dim):
                 r2 = r2 + dpos[d] * dpos[d]
-            within = (
-                (r2 <= h2)
-                & (self.maskf[:, None, :] > 0)
-                & (mj[None, :, :] > 0)
-            )
             _, dwr = w_dwr(r2, h, dim, kg_w, kg_dw)
-            yield dpos, dwr, within, off
+            yield dpos, dwr, off
 
     def t_pass(self, Q):
         """T_i = sum_ff m_j (Q_j . grad_ij) for a per-slot vector Q
@@ -240,28 +241,21 @@ class DenseCtx:
         dim = self.dim
         spec = self.spec_f
         acc = jnp.zeros_like(self.maskf)
-        for dpos, dwr, within, off in self._sym_blocks():
+        for dpos, dwr, off in self._sym_blocks():
             is_self = off == tuple([0] * dim)
             mj = dg.shift_j(spec, self.M, off)
             qj = dg.shift_j(spec, Q, off)
             t = jnp.zeros_like(dwr)
             for d in range(dim):
                 t = t + qj[d][None, :, :] * dpos[d]
-            acc = acc + jnp.sum(
-                jnp.where(within, t * dwr * mj[None, :, :], 0.0), axis=1
-            )
+            acc = acc + jnp.sum(t * dwr * mj[None, :, :], axis=1)
             if not is_self:
                 # Mirror: grad_ji = -dpos; i-side arrays unshifted.
                 tm = jnp.zeros_like(dwr)
                 for d in range(dim):
                     tm = tm - Q[d][:, None, :] * dpos[d]
-                s = jnp.sum(
-                    jnp.where(within, tm * dwr * self.M[:, None, :], 0.0),
-                    axis=0,
-                )
-                acc = acc + dg.shift_j(
-                    spec, s, tuple(-o for o in off)
-                )
+                s = jnp.sum(tm * dwr * self.M[:, None, :], axis=0)
+                acc = acc + dg.shift_j(spec, s, tuple(-o for o in off))
         return acc
 
     def k_pass(self, K):
@@ -270,19 +264,17 @@ class DenseCtx:
         dim = self.dim
         spec = self.spec_f
         acc = jnp.zeros_like(self.P)
-        for dpos, dwr, within, off in self._sym_blocks():
+        for dpos, dwr, off in self._sym_blocks():
             is_self = off == tuple([0] * dim)
             mj = dg.shift_j(spec, self.M, off)
             kj = dg.shift_j(spec, K, off)
-            coeff = jnp.where(within, kj[None, :, :] * mj[None, :, :] * dwr, 0.0)
+            coeff = kj[None, :, :] * mj[None, :, :] * dwr
             acc = jnp.stack(
                 [acc[d] + jnp.sum(dpos[d] * coeff, axis=1)
                  for d in range(dim)]
             )
             if not is_self:
-                coeff_m = jnp.where(
-                    within, K[:, None, :] * self.M[:, None, :] * dwr, 0.0
-                )
+                coeff_m = K[:, None, :] * self.M[:, None, :] * dwr
                 neg_off = tuple(-o for o in off)
                 acc = jnp.stack(
                     [
@@ -308,8 +300,10 @@ class DenseCtx:
         dim, h = self.dim, self.h
 
         def body(acc, dpos, r2, within, j):
+            # No mask needed: coef is zero on dead fluid slots and the
+            # sentinel positions zero dwr for any empty-slot pairing.
             _, dwr = w_dwr(r2, h, dim, kg_w, kg_dw)
-            c = jnp.where(within, j["coef"][None, :, :], 0.0)
+            c = j["coef"][None, :, :]
             return jnp.stack(
                 [acc[d] - jnp.sum(dpos[d] * dwr * c, axis=1)
                  for d in range(dim)]
