@@ -21,12 +21,26 @@ import jax
 import jax.numpy as jnp
 
 
+def _safe_norm(v):
+    """|v| with a well-defined (zero) autodiff gradient at v = 0.
+
+    ``jnp.linalg.norm`` has a NaN gradient at the zero vector, which
+    ``sdf_normal`` would propagate for any point inside a box face or at a
+    shape center; the double-where pattern keeps both value and gradient
+    finite.
+    """
+    sq = jnp.sum(v * v, axis=-1)
+    pos = sq > 0
+    safe = jnp.where(pos, sq, 1.0)
+    return jnp.where(pos, jnp.sqrt(safe), 0.0)
+
+
 @dataclasses.dataclass(frozen=True)
 class Ball:
     radius: float
 
     def sdf(self, p):
-        return jnp.linalg.norm(p, axis=-1) - self.radius
+        return _safe_norm(p) - self.radius
 
 
 @dataclasses.dataclass(frozen=True)
@@ -38,7 +52,7 @@ class Cuboid:
     def sdf(self, p):
         b = jnp.asarray(self.half_extents, p.dtype)
         q = jnp.abs(p) - b
-        outside = jnp.linalg.norm(jnp.maximum(q, 0.0), axis=-1)
+        outside = _safe_norm(jnp.maximum(q, 0.0))
         inside = jnp.minimum(jnp.max(q, axis=-1), 0.0)
         return outside + inside
 
@@ -54,7 +68,7 @@ class Capsule:
     def sdf(self, p):
         y = jnp.clip(p[..., 1], -self.half_height, self.half_height)
         d = p - jnp.zeros_like(p).at[..., 1].set(y)
-        return jnp.linalg.norm(d, axis=-1) - self.radius
+        return _safe_norm(d) - self.radius
 
 
 @dataclasses.dataclass(frozen=True)
