@@ -116,6 +116,9 @@ class SimConfig:
     # Dense layout capacities: max particles per cell (cell width = h).
     dense_cap: int = 12
     dense_cap_boundary: int = 24
+    # Use the hand-fused Pallas TPU kernels for the hot per-iteration pair
+    # passes (ops/pallas_pair.py). Ignored off-TPU (XLA path runs there).
+    use_pallas: bool = True
     # Number of solver substeps per `step` call. The reference's
     # TimestepManager currently always runs exactly one substep per step
     # (``timestep_manager.rs:87-94``), so 1 is the faithful default.

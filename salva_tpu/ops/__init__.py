@@ -1,0 +1,5 @@
+"""Hand-fused TPU kernels (Pallas) for the hot dense-pair passes."""
+
+from .pallas_pair import PALLAS_OK, k_pass_pallas, t_pass_pallas
+
+__all__ = ["t_pass_pallas", "k_pass_pallas", "PALLAS_OK"]

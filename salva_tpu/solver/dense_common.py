@@ -234,10 +234,29 @@ class DenseCtx:
             _, dwr = w_dwr(r2, h, dim, kg_w, kg_dw)
             yield dpos, dwr, off
 
+    def _use_pallas(self) -> bool:
+        import jax
+
+        if not getattr(self.sim, "use_pallas", True):
+            return False
+        try:
+            from ..ops import PALLAS_OK
+        except Exception:  # noqa: BLE001
+            return False
+        return PALLAS_OK and jax.default_backend() == "tpu"
+
     def t_pass(self, Q):
         """T_i = sum_ff m_j (Q_j . grad_ij) for a per-slot vector Q
         (half-stencil: each block also contributes m_i Q_i . grad_ji to
-        its mirror side)."""
+        its mirror side; on TPU a fused Pallas kernel walks the full
+        stencil in VMEM instead)."""
+        if self._use_pallas():
+            from ..ops import t_pass_pallas
+
+            return t_pass_pallas(
+                self.spec_f, self.h, self.dim, self.sim.kernel_gradient,
+                self.P, self.M, Q,
+            )
         dim = self.dim
         spec = self.spec_f
         acc = jnp.zeros_like(self.maskf)
@@ -260,7 +279,14 @@ class DenseCtx:
 
     def k_pass(self, K):
         """K_i = sum_ff k_j m_j grad_ij for a per-slot scalar k
-        (half-stencil, mirrored like t_pass)."""
+        (half-stencil, mirrored like t_pass; fused Pallas kernel on TPU)."""
+        if self._use_pallas():
+            from ..ops import k_pass_pallas
+
+            return k_pass_pallas(
+                self.spec_f, self.h, self.dim, self.sim.kernel_gradient,
+                self.P, self.M, K,
+            )
         dim = self.dim
         spec = self.spec_f
         acc = jnp.zeros_like(self.P)
