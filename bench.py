@@ -38,6 +38,7 @@ def main():
     target_n = int(os.environ.get("BENCH_N", "100000"))
     steps = int(os.environ.get("BENCH_STEPS", "20"))
     layout = os.environ.get("BENCH_LAYOUT", "auto")
+    dense_cap = int(os.environ.get("BENCH_CAP", "12"))
     n_side = max(2, round(target_n ** (1.0 / 3.0)))
 
     radius = 0.05
@@ -58,6 +59,7 @@ def main():
         layout=layout,
         # Box surfaces at 2r spacing put ~4-8 boundary particles in an
         # h-wide cell; 16 gives headroom (overflow is surfaced in diag).
+        dense_cap=dense_cap,
         dense_cap_boundary=16,
     )
     pos = cube_fluid((n_side, n_side, n_side), radius)

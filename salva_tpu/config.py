@@ -117,8 +117,12 @@ class SimConfig:
     dense_cap: int = 12
     dense_cap_boundary: int = 24
     # Use the hand-fused Pallas TPU kernels for the hot per-iteration pair
-    # passes (ops/pallas_pair.py). Ignored off-TPU (XLA path runs there).
-    use_pallas: bool = True
+    # passes (ops/pallas_pair.py). Measured on v5e: XLA's fusion of the
+    # shifted-view formulation is already ~1.5-2x FASTER than the manual
+    # VMEM-window kernel (the pass is VPU-compute-bound, and the kernel
+    # pays for unaligned window slices) — so this defaults OFF and the
+    # kernels remain as validated infrastructure for future tuning.
+    use_pallas: bool = False
     # Number of solver substeps per `step` call. The reference's
     # TimestepManager currently always runs exactly one substep per step
     # (``timestep_manager.rs:87-94``), so 1 is the faithful default.

@@ -60,17 +60,27 @@ def _grad_scale_fn(kernel_gradient: str, h: float, dim: int):
     return dwr_of
 
 
+def _pad_cap(cap: int) -> int:
+    """Sublane-align the cap axis (DMA slices need multiples of 8)."""
+    return -(-cap // 8) * 8
+
+
 def _pad_last(arr, w: int, tile: int, fill):
-    """Pad the last axis with ``w`` halo cells each side + round the
-    interior up to a multiple of ``tile`` (fill = sentinel/zero)."""
+    """Pad the cap axis to the sublane multiple and the last axis with
+    ``w`` halo cells each side + round the interior up to a multiple of
+    ``tile`` (fill = sentinel/zero)."""
     c = arr.shape[-1]
+    cap = arr.shape[-2]
     cp = -(-c // tile) * tile
-    pad = [(0, 0)] * (arr.ndim - 1) + [(w, w + (cp - c))]
+    pad = [(0, 0)] * (arr.ndim - 2) + [
+        (0, _pad_cap(cap) - cap),
+        (w, w + (cp - c)),
+    ]
     return jnp.pad(arr, pad, constant_values=fill), cp
 
 
 def _build_t_kernel(spec, h, dim, tile, kernel_gradient):
-    cap = spec.cap
+    cap = _pad_cap(spec.cap)
     shifts = _shifts(spec)
     w = -(-_halo(spec) // 128) * 128
     win = tile + 2 * w
@@ -138,7 +148,7 @@ def t_pass_pallas(spec, h: float, dim: int, kernel_gradient: str, P, M, Q,
                   tile: int = 512, interpret: bool = False):
     """T_i = sum_ff m_j (Q_j . grad_ij), fused on TPU."""
     kernel, w, win = _build_t_kernel(spec, h, dim, tile, kernel_gradient)
-    cap = spec.cap
+    cap = _pad_cap(spec.cap)
     c = P.shape[-1]
     Pp, cp = _pad_last(P, w, tile, dg.POS_SENTINEL)
     Mp, _ = _pad_last(M, w, tile, 0.0)
@@ -164,11 +174,11 @@ def t_pass_pallas(spec, h: float, dim: int, kernel_gradient: str, P, M, Q,
             pltpu.SemaphoreType.DMA((3,)),
         ],
     )(Pp, Mp, Qp)
-    return out[:, :c]
+    return out[: spec.cap, :c]
 
 
 def _build_k_kernel(spec, h, dim, tile, kernel_gradient):
-    cap = spec.cap
+    cap = _pad_cap(spec.cap)
     shifts = _shifts(spec)
     w = -(-_halo(spec) // 128) * 128
     win = tile + 2 * w
@@ -227,7 +237,7 @@ def k_pass_pallas(spec, h: float, dim: int, kernel_gradient: str, P, M, K,
     kernel takes one fused ``mk = m * k`` operand.
     """
     kernel, w, win = _build_k_kernel(spec, h, dim, tile, kernel_gradient)
-    cap = spec.cap
+    cap = _pad_cap(spec.cap)
     c = P.shape[-1]
     Pp, cp = _pad_last(P, w, tile, dg.POS_SENTINEL)
     MKp, _ = _pad_last(M * K, w, tile, 0.0)
@@ -250,4 +260,4 @@ def k_pass_pallas(spec, h: float, dim: int, kernel_gradient: str, P, M, K,
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )(Pp, MKp)
-    return out[:, :, :c]
+    return out[:, : spec.cap, :c]
