@@ -116,6 +116,14 @@ class SimConfig:
     # Dense layout capacities: max particles per cell (cell width = h).
     dense_cap: int = 12
     dense_cap_boundary: int = 24
+    # Compact dense indexing: compute only over occupied cells (plus a
+    # void column) instead of the whole domain grid — pair work scales
+    # with occupancy. The active-cell table sizes are
+    # ``capacity * ratio`` (clamped to the domain cell count); overflow
+    # is counted in the diagnostics.
+    dense_compact: bool = True
+    dense_active_ratio: float = 0.25
+    dense_active_ratio_boundary: float = 0.5
     # Use the hand-fused Pallas TPU kernels for the hot per-iteration pair
     # passes (ops/pallas_pair.py). Measured on v5e: XLA's fusion of the
     # shifted-view formulation is already ~1.5-2x FASTER than the manual

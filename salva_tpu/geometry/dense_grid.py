@@ -191,6 +191,113 @@ def from_grid(spec: DenseGridSpec, binned: Binned, grid_values, default=0.0):
     )
 
 
+class ActiveBinned(NamedTuple):
+    """A particle set bound to slots of the *occupied-cells-only* table.
+
+    The compact variant of :class:`Binned`: instead of one column per
+    grid cell, the table has ``A + 1`` columns — one per *active*
+    (occupied) cell plus a trailing void column (sentinel positions, zero
+    masses) that absorbs all inactive-neighbor lookups. Pair compute then
+    scales with occupancy instead of domain volume.
+
+    - ``slot_of`` / ``in_grid`` / ``mask`` / ``overflow`` / ``clamped``:
+      as in :class:`Binned` (mask is [cap, A+1]);
+    - ``active_cells``: [A+1] int32 flat cell id per active slot (void and
+      unused slots hold ``num_cells``);
+    - ``cell_to_active``: [C+1] int32 inverse map (inactive -> A);
+    - ``active_overflow``: [] int32 occupied cells beyond A (dropped).
+    """
+
+    slot_of: jnp.ndarray
+    in_grid: jnp.ndarray
+    mask: jnp.ndarray
+    active_cells: jnp.ndarray
+    cell_to_active: jnp.ndarray
+    overflow: jnp.ndarray
+    clamped: jnp.ndarray
+    active_overflow: jnp.ndarray
+
+
+class ActiveSpec(NamedTuple):
+    """Shape shim so :func:`to_grid` / :func:`from_grid` work on the
+    compact [cap, A+1] layout."""
+
+    num_cells: int  # = A + 1 (including the void column)
+    cap: int
+
+
+def bin_particles_active(spec: DenseGridSpec, max_active: int, positions,
+                         alive, cap: int = None):
+    """Compact binning: assign (active cell, rank) slots over occupied
+    cells only. Deterministic like :func:`bin_particles`."""
+    cap = spec.cap if cap is None else cap
+    n = positions.shape[0]
+    C = spec.num_cells
+    A = max_active
+    cell, clamped_mask = cell_of(spec, positions)
+    key = jnp.where(alive, cell, jnp.int32(C))
+    order = jnp.argsort(key, stable=True)
+    sk = key[order]
+    idx = jnp.arange(n, dtype=jnp.int32)
+    first = jnp.searchsorted(sk, sk, side="left").astype(jnp.int32)
+    rank_sorted = idx - first
+    is_first = (idx == first) & (sk < C)
+    act_sorted = jnp.cumsum(is_first.astype(jnp.int32)) - 1  # active index
+
+    # Active-cell table [A+1], void/unused = C.
+    tgt = jnp.where(is_first & (act_sorted < A), act_sorted, A + 1)
+    active_cells = (
+        jnp.full((A + 1,), C, jnp.int32).at[tgt].set(sk, mode="drop")
+    )
+    cell_to_active = (
+        jnp.full((C + 1,), A, jnp.int32)
+        .at[active_cells[:A]]
+        .set(jnp.arange(A, dtype=jnp.int32), mode="drop")
+    )
+    cell_to_active = cell_to_active.at[C].set(A)
+
+    rank = jnp.zeros((n,), jnp.int32).at[order].set(rank_sorted)
+    act_of = jnp.full((n,), A, jnp.int32).at[order].set(act_sorted)
+    fits = alive & (rank < cap) & (act_of >= 0) & (act_of < A)
+    oob = (A + 1) * cap
+    slot = jnp.where(fits, act_of * cap + rank, oob)
+    mask = (
+        jnp.zeros(((A + 1) * cap,), jnp.float32)
+        .at[slot]
+        .set(1.0, mode="drop")
+        .reshape(A + 1, cap)
+        .T
+    )
+    overflow = jnp.sum((alive & jnp.logical_not(fits)).astype(jnp.int32))
+    clamped = jnp.sum((alive & clamped_mask).astype(jnp.int32))
+    active_overflow = jnp.sum((is_first & (act_sorted >= A)).astype(jnp.int32))
+    return ActiveBinned(
+        slot_of=slot,
+        in_grid=fits,
+        mask=mask,
+        active_cells=active_cells,
+        cell_to_active=cell_to_active,
+        overflow=overflow,
+        clamped=clamped,
+        active_overflow=active_overflow,
+    )
+
+
+def neighbor_table(spec: DenseGridSpec, owner_cells, cell_to_active_target):
+    """[Ao+1, S] active indices of each owner cell's 3^dim neighbors in
+    the target set (void / inactive -> the target's void column)."""
+    shifts = jnp.asarray(
+        [spec.flat_shift(off) for off in neighbor_offsets(spec.dim)],
+        jnp.int32,
+    )
+    nc = owner_cells[:, None] + shifts[None, :]
+    # Real owner cells are interior (all neighbors in range); the void
+    # row (= C) clips back into [0, C] and is masked by its sentinel
+    # positions anyway.
+    nc = jnp.clip(nc, 0, spec.num_cells)
+    return cell_to_active_target[nc]
+
+
 def shift_j(spec: DenseGridSpec, arr, offset):
     """View of a [..., C] grid array where cell c sees cell c + offset."""
     s = spec.flat_shift(offset)

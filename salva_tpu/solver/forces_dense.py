@@ -26,10 +26,16 @@ EPSILON = float(jnp.finfo(jnp.float32).eps)
 class DenseFields(NamedTuple):
     """Everything a dense force can read (positions frozen, velocities =
     post-divergence committed velocities, exactly like the gather path's
-    StepContext at predict_advection time)."""
+    StepContext at predict_advection time).
 
-    spec_f: dg.DenseGridSpec
-    spec_b: dg.DenseGridSpec
+    ``jff``/``jfb``/``jbf``: neighbor-view functions (fluid-fluid,
+    fluid-owner/boundary-j, boundary-owner/fluid-j) — rolls in grid mode,
+    active-table gathers in compact mode (see ``dense_common``)."""
+
+    jff: object
+    jfb: object
+    jbf: object
+    n_offsets: int
     P: jnp.ndarray  # [D, capf, C]
     V: jnp.ndarray  # [D, capf, C]
     M: jnp.ndarray  # [capf, C]
@@ -58,13 +64,24 @@ def per_slot(values: Tuple[float, ...], FID):
     return out
 
 
-def _pairs(spec, dim, h, pos_i, mask_i, pos_j, mask_j, j_arrays):
-    """Yield (dpos, r2, within, shifted_j) for each neighbor offset."""
+def _pairs(f: "DenseFields", which: str, j_arrays):
+    """Yield (dpos, r2, within, j_views) for each neighbor view.
+
+    ``which``: "ff" (fluid owner, fluid j), "fb" (fluid owner, boundary
+    j), "bf" (boundary owner, fluid j).
+    """
+    dim, h = f.dim, f.h
     h2 = h * h
-    for off in dg.neighbor_offsets(dim):
-        pj = dg.shift_j(spec, pos_j, off)
-        mj = dg.shift_j(spec, mask_j, off)
-        j = {k: dg.shift_j(spec, v, off) for k, v in j_arrays.items()}
+    if which == "ff":
+        pos_i, mask_i, pos_j, mask_j, jview = f.P, f.maskf, f.P, f.maskf, f.jff
+    elif which == "fb":
+        pos_i, mask_i, pos_j, mask_j, jview = f.P, f.maskf, f.Pb, f.maskb, f.jfb
+    else:
+        pos_i, mask_i, pos_j, mask_j, jview = f.Pb, f.maskb, f.P, f.maskf, f.jbf
+    for o in range(f.n_offsets):
+        pj = jview(pos_j, o)
+        mj = jview(mask_j, o)
+        j = {k: jview(v, o) for k, v in j_arrays.items()}
         dpos = [pos_i[d][:, None, :] - pj[d][None, :, :] for d in range(dim)]
         r2 = dpos[0] * dpos[0]
         for d in range(1, dim):
@@ -88,7 +105,7 @@ class XSPHViscosityDense:
 
         # Fluid part: same-fluid smoothing toward neighbor velocities.
         for dpos, r2, within, j in _pairs(
-            f.spec_f, f.dim, f.h, f.P, f.maskf, f.P, f.maskf,
+            f, "ff",
             {"v": f.V, "vol": f.VOL, "rho": f.RHO, "fid": f.FID},
         ):
             w = kd_w(jnp.sqrt(r2), f.h, f.dim)
@@ -111,8 +128,7 @@ class XSPHViscosityDense:
         any_b = any(v != 0.0 for v in self.boundary_coefficients)
         if any_b:
             for dpos, r2, within, j in _pairs(
-                f.spec_f, f.dim, f.h, f.P, f.maskf, f.Pb, f.maskb,
-                {"vb": f.Vbvel, "vol": f.Volb},
+                f, "fb", {"vb": f.Vbvel, "vol": f.Volb},
             ):
                 w = kd_w(jnp.sqrt(r2), f.h, f.dim)
                 factor = jnp.where(
@@ -132,8 +148,7 @@ class XSPHViscosityDense:
             ci = bcoeff * f.R0 / jnp.maximum(f.RHO, EPSILON) * f.M * f.inv_dt
             Fb = jnp.zeros_like(f.Pb)
             for dpos, r2, within, j in _pairs(
-                f.spec_b, f.dim, f.h, f.Pb, f.maskb, f.P, f.maskf,
-                {"ci": ci, "v": f.V},
+                f, "bf", {"ci": ci, "v": f.V},
             ):
                 w = kd_w(jnp.sqrt(r2), f.h, f.dim)
                 factor = jnp.where(within, w * j["ci"][None, :, :], 0.0)
@@ -179,7 +194,7 @@ class ArtificialViscosityDense:
 
         # Fluid-fluid (same fluid, v.r < 0).
         for dpos, r2, within, j in _pairs(
-            f.spec_f, f.dim, f.h, f.P, f.maskf, f.P, f.maskf,
+            f, "ff",
             {"v": f.V, "vol": f.VOL, "rho": f.RHO, "fid": f.FID},
         ):
             dwr = grad_scale(r2)
@@ -207,8 +222,7 @@ class ArtificialViscosityDense:
         if any_b:
             # Fluid-boundary term.
             for dpos, r2, within, j in _pairs(
-                f.spec_f, f.dim, f.h, f.P, f.maskf, f.Pb, f.maskb,
-                {"vb": f.Vbvel, "vol": f.Volb},
+                f, "fb", {"vb": f.Vbvel, "vol": f.Volb},
             ):
                 dwr = grad_scale(r2)
                 vr = jnp.zeros_like(r2)
@@ -235,7 +249,7 @@ class ArtificialViscosityDense:
             ci_visc_a = sos * alpha
             Fb = jnp.zeros_like(f.Pb)
             for dpos, r2, within, j in _pairs(
-                f.spec_b, f.dim, f.h, f.Pb, f.maskb, f.P, f.maskf,
+                f, "bf",
                 {"c": ci_common, "sa": ci_visc_a, "b": beta, "v": f.V},
             ):
                 dwr = grad_scale(r2)
@@ -283,8 +297,7 @@ class Akinci2013SurfaceTensionDense:
         # Pass 1: normals n_i = h sum m_j / rho_j grad (`:43-68`).
         N = jnp.zeros_like(f.P)
         for dpos, r2, within, j in _pairs(
-            f.spec_f, f.dim, f.h, f.P, f.maskf, f.P, f.maskf,
-            {"m": f.M, "rho": f.RHO, "fid": f.FID},
+            f, "ff", {"m": f.M, "rho": f.RHO, "fid": f.FID},
         ):
             dwr = dwr_of(r2)
             ok = within & (f.FID[:, None, :] == j["fid"][None, :, :])
@@ -298,8 +311,7 @@ class Akinci2013SurfaceTensionDense:
         # Pass 2: cohesion + curvature (`:137-165`).
         accel = jnp.zeros_like(f.P)
         for dpos, r2, within, j in _pairs(
-            f.spec_f, f.dim, f.h, f.P, f.maskf, f.P, f.maskf,
-            {"vol": f.VOL, "rho": f.RHO, "fid": f.FID, "n": N},
+            f, "ff", {"vol": f.VOL, "rho": f.RHO, "fid": f.FID, "n": N},
         ):
             r = jnp.sqrt(r2)
             safe = jnp.where(r > EPSILON, r, 1.0)
@@ -333,8 +345,7 @@ class Akinci2013SurfaceTensionDense:
         Fb = None
         if any_b:
             for dpos, r2, within, j in _pairs(
-                f.spec_f, f.dim, f.h, f.P, f.maskf, f.Pb, f.maskb,
-                {"vol": f.Volb},
+                f, "fb", {"vol": f.Volb},
             ):
                 r = jnp.sqrt(r2)
                 safe = jnp.where(r > EPSILON, r, 1.0)
@@ -352,8 +363,7 @@ class Akinci2013SurfaceTensionDense:
             ci = badh * f.R0 * f.M
             Fb = jnp.zeros_like(f.Pb)
             for dpos, r2, within, j in _pairs(
-                f.spec_b, f.dim, f.h, f.Pb, f.maskb, f.P, f.maskf,
-                {"c": ci},
+                f, "bf", {"c": ci},
             ):
                 r = jnp.sqrt(r2)
                 safe = jnp.where(r > EPSILON, r, 1.0)
@@ -387,8 +397,7 @@ class WCSPHSurfaceTensionDense:
         accel = jnp.zeros_like(f.P)
 
         for dpos, r2, within, j in _pairs(
-            f.spec_f, f.dim, f.h, f.P, f.maskf, f.P, f.maskf,
-            {"vol": f.VOL, "fid": f.FID},
+            f, "ff", {"vol": f.VOL, "fid": f.FID},
         ):
             w = kd_w(jnp.sqrt(r2), f.h, f.dim)
             ok = within & (f.FID[:, None, :] == j["fid"][None, :, :])
@@ -407,8 +416,7 @@ class WCSPHSurfaceTensionDense:
         if any_b:
             safe_m = jnp.where(f.M > 0, f.M, 1.0)
             for dpos, r2, within, j in _pairs(
-                f.spec_f, f.dim, f.h, f.P, f.maskf, f.Pb, f.maskb,
-                {"vol": f.Volb},
+                f, "fb", {"vol": f.Volb},
             ):
                 w = kd_w(jnp.sqrt(r2), f.h, f.dim)
                 scale = jnp.where(
@@ -424,8 +432,7 @@ class WCSPHSurfaceTensionDense:
             ci = bcoeff * f.R0
             Fb = jnp.zeros_like(f.Pb)
             for dpos, r2, within, j in _pairs(
-                f.spec_b, f.dim, f.h, f.Pb, f.maskb, f.P, f.maskf,
-                {"c": ci},
+                f, "bf", {"c": ci},
             ):
                 w = kd_w(jnp.sqrt(r2), f.h, f.dim)
                 scale = jnp.where(
@@ -462,18 +469,14 @@ class He2014SurfaceTensionDense:
         # Pass 1: colors (`:40-75`).
         colors = jnp.zeros_like(f.maskf)
         for dpos, r2, within, j in _pairs(
-            f.spec_f, f.dim, f.h, f.P, f.maskf, f.P, f.maskf,
-            {"vr": vol_over_rho, "fid": f.FID},
+            f, "ff", {"vr": vol_over_rho, "fid": f.FID},
         ):
             w = kd_w(jnp.sqrt(r2), f.h, f.dim)
             ok = within & (f.FID[:, None, :] == j["fid"][None, :, :])
             colors = colors + jnp.sum(
                 jnp.where(ok, w * j["vr"][None, :, :], 0.0), axis=1
             )
-        for dpos, r2, within, j in _pairs(
-            f.spec_f, f.dim, f.h, f.P, f.maskf, f.Pb, f.maskb,
-            {"vol": f.Volb},
-        ):
+        for dpos, r2, within, j in _pairs(f, "fb", {"vol": f.Volb}):
             w = kd_w(jnp.sqrt(r2), f.h, f.dim)
             colors = colors + jnp.sum(
                 jnp.where(within, w * j["vol"][None, :, :], 0.0), axis=1
@@ -483,8 +486,7 @@ class He2014SurfaceTensionDense:
         safe_colors = jnp.where(jnp.abs(colors) > 0, colors, 1.0)
         gradc = jnp.zeros_like(f.P)
         for dpos, r2, within, j in _pairs(
-            f.spec_f, f.dim, f.h, f.P, f.maskf, f.P, f.maskf,
-            {"vr": vol_over_rho, "c": colors, "fid": f.FID},
+            f, "ff", {"vr": vol_over_rho, "c": colors, "fid": f.FID},
         ):
             dwr = dwr_of(r2)
             ok = within & (f.FID[:, None, :] == j["fid"][None, :, :])
@@ -500,8 +502,7 @@ class He2014SurfaceTensionDense:
         safe_m = jnp.where(f.M > 0, f.M, 1.0)
         accel = jnp.zeros_like(f.P)
         for dpos, r2, within, j in _pairs(
-            f.spec_f, f.dim, f.h, f.P, f.maskf, f.P, f.maskf,
-            {"mr": m_over_rho, "g": gradcs, "fid": f.FID},
+            f, "ff", {"mr": m_over_rho, "g": gradcs, "fid": f.FID},
         ):
             dwr = dwr_of(r2)
             ok = within & (f.FID[:, None, :] == j["fid"][None, :, :])
@@ -521,8 +522,7 @@ class He2014SurfaceTensionDense:
         Fb = None
         if any_b:
             for dpos, r2, within, j in _pairs(
-                f.spec_f, f.dim, f.h, f.P, f.maskf, f.Pb, f.maskb,
-                {"vol": f.Volb},
+                f, "fb", {"vol": f.Volb},
             ):
                 dwr = dwr_of(r2)
                 s = jnp.where(
@@ -539,8 +539,7 @@ class He2014SurfaceTensionDense:
             ci = (f.M / jnp.maximum(f.RHO, EPSILON)) * gradcs * bcoeff * 0.25
             Fb = jnp.zeros_like(f.Pb)
             for dpos, r2, within, j in _pairs(
-                f.spec_b, f.dim, f.h, f.Pb, f.maskb, f.P, f.maskf,
-                {"c": ci},
+                f, "bf", {"c": ci},
             ):
                 dwr = dwr_of(r2)
                 s = jnp.where(within, j["c"][None, :, :] * f.Volb[:, None, :], 0.0) * dwr

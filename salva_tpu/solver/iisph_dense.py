@@ -52,7 +52,8 @@ def build_dense_substep(sim: SimConfig, cfg: IISPHConfig, num_fluids: int,
             from .forces_dense import DenseFields
 
             fields = DenseFields(
-                spec_f=spec_f, spec_b=spec_b, P=ctx.P, V=ctx.V, M=ctx.M,
+                jff=ctx.jff, jfb=ctx.jfb, jbf=ctx.jbf,
+                n_offsets=len(ctx.offsets), P=ctx.P, V=ctx.V, M=ctx.M,
                 VOL=ctx.to_f(fluids.volumes), R0=R0, RHO=ctx.rho,
                 FID=ctx.FID, maskf=maskf, Pb=ctx.Pb, Vbvel=ctx.Vbvel,
                 Volb=ctx.Volb, maskb=ctx.maskb, h=sim.h, dim=dim,
@@ -151,7 +152,7 @@ def build_dense_substep(sim: SimConfig, cfg: IISPHConfig, num_fluids: int,
             ),
             ncontacts_ff=jnp.sum(jnp.where(live, ctx.cnt_ff, 0)),
             ncontacts_fb=jnp.sum(jnp.where(live, ctx.cnt_fb, 0)),
-            neighbor_overflow=ctx.binf.overflow + ctx.binb.overflow,
+            neighbor_overflow=ctx.bin_overflow,
             candidate_overflow=ctx.binf.clamped + ctx.binb.clamped,
             max_density_ratio=jnp.max(
                 jnp.where(live, ctx.rho / R0, 0.0), initial=0.0

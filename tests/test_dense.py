@@ -135,6 +135,32 @@ def test_dense_iisph_matches_gather():
     np.testing.assert_allclose(fg, fd, rtol=5e-2, atol=1.0)
 
 
+def test_dense_grid_mode_matches_compact():
+    """The two dense indexings (full grid vs compact active cells) agree."""
+    def build(compact):
+        world = LiquidWorld(
+            solver=DFSPHConfig(), particle_radius=RADIUS, dim=2,
+            domain=DOMAIN_2D, layout="dense",
+        )
+        world.sim = world.sim.replace(dense_compact=compact)
+        pos = cube_positions(7, RADIUS, 2, origin=(-0.6, 0.02))
+        fl = world.add_fluid(Fluid(pos, density0=1000.0))
+        xs = np.arange(-1.2, 1.2, 2 * RADIUS, dtype=np.float32)
+        floor = np.stack([xs, np.full_like(xs, -2 * RADIUS)], axis=-1)
+        world.add_boundary(Boundary(floor))
+        return world, fl
+
+    wg, fg = build(False)
+    wc, fc = build(True)
+    for _ in range(10):
+        wg.step(1.0 / 200.0, (0.0, -9.81))
+        wc.step(1.0 / 200.0, (0.0, -9.81))
+    np.testing.assert_allclose(
+        wg.fluid_positions(fg), wc.fluid_positions(fc), atol=2e-5
+    )
+    assert int(wc.last_diagnostics.neighbor_overflow) == 0
+
+
 def test_dense_layout_requires_domain():
     with pytest.raises(ValueError):
         world = LiquidWorld(

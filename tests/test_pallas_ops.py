@@ -30,6 +30,7 @@ def _ctx(dim):
     )
     bd = BoundariesState.empty(8, dim)
     sim = SimConfig(dim=dim, particle_radius=0.05, use_pallas=False,
+                    dense_compact=False,
                     domain=((0.0,) * dim, (1.2,) * dim))
     spec_f = dg.spec_for_aabb((0.0,) * dim, (1.2,) * dim, h, cap=16)
     spec_b = spec_f.replace(cap=4)
