@@ -120,8 +120,12 @@ class SimConfig:
     # void column) instead of the whole domain grid — pair work scales
     # with occupancy. The active-cell table sizes are
     # ``capacity * ratio`` (clamped to the domain cell count); overflow
-    # is counted in the diagnostics.
-    dense_compact: bool = True
+    # is counted in the diagnostics. Measured on v5e at dam-break
+    # occupancy (C/A ~ 4): the neighbor-table gathers break XLA's
+    # roll+compute fusion and compact runs ~20% SLOWER than the full
+    # grid, so this defaults OFF; enable it for very sparse domains
+    # (occupied fraction well under ~10%).
+    dense_compact: bool = False
     dense_active_ratio: float = 0.25
     dense_active_ratio_boundary: float = 0.5
     # Use the hand-fused Pallas TPU kernels for the hot per-iteration pair
