@@ -128,6 +128,11 @@ class SimConfig:
     dense_compact: bool = False
     dense_active_ratio: float = 0.25
     dense_active_ratio_boundary: float = 0.5
+    # Recompute boundary volumes (V_b = 1/sum W_bb) this step. The world
+    # flips this to False for steps where no boundary changed (static
+    # boundaries, no coupling): volumes are then read from the state,
+    # skipping the most expensive fixed pair pass (capb^2 work).
+    recompute_boundary_volumes: bool = True
     # Use the hand-fused Pallas TPU kernels for the hot per-iteration pair
     # passes (ops/pallas_pair.py). Measured on v5e: XLA's fusion of the
     # shifted-view formulation is already ~1.5-2x FASTER than the manual

@@ -86,6 +86,7 @@ class DenseCtx:
     """
 
     def __init__(self, sim: SimConfig, spec_f, spec_b, fluids, boundaries):
+        self._boundaries_volumes = boundaries.volumes
         self.sim = sim
         self.spec_f = spec_f
         self.spec_b = spec_b
@@ -180,7 +181,18 @@ class DenseCtx:
     # -- per-substep passes -------------------------------------------------
 
     def _compute_boundary_volumes(self):
-        """V_b = 1 / sum W_bb (`dfsph_solver.rs:72-96`)."""
+        """V_b = 1 / sum W_bb (`dfsph_solver.rs:72-96`).
+
+        When the world marks boundaries unchanged
+        (``sim.recompute_boundary_volumes = False``), the volumes computed
+        by a previous step are read from the state instead — they depend
+        only on boundary positions.
+        """
+        if not getattr(self.sim, "recompute_boundary_volumes", True):
+            self.Volb = dg.to_grid(
+                self.sb, self.binb, self._boundaries_volumes
+            )
+            return
         kd_w, kd_dw = self.kd
 
         def body(acc, dpos, r2, within, j):

@@ -162,7 +162,8 @@ def build_dense_substep(sim: SimConfig, cfg: DFSPHConfig, num_fluids: int,
         new_dv = ctx.unbin_f(DV, velocity_changes)
         fluids = fluids.replace(positions=new_pos, velocities=new_vel)
         boundaries = boundaries.replace(
-            forces=ctx.unbin_b(Fb, boundaries.forces * 0.0)
+            forces=ctx.unbin_b(Fb, boundaries.forces * 0.0),
+            volumes=ctx.unbin_b(ctx.Volb, boundaries.volumes),
         )
 
         from ..step import StepDiagnostics  # local import avoids a cycle

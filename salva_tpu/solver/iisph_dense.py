@@ -136,7 +136,8 @@ def build_dense_substep(sim: SimConfig, cfg: IISPHConfig, num_fluids: int,
         new_pressures = ctx.unbin_f(P_grid, pressures)
         fluids = fluids.replace(positions=new_pos, velocities=new_vel)
         boundaries = boundaries.replace(
-            forces=ctx.unbin_b(Fb, boundaries.forces * 0.0)
+            forces=ctx.unbin_b(Fb, boundaries.forces * 0.0),
+            volumes=ctx.unbin_b(ctx.Volb, boundaries.volumes),
         )
 
         from ..step import StepDiagnostics

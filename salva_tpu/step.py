@@ -176,16 +176,20 @@ def build_substep_fn(
 
         # Boundary volumes from boundary-boundary neighbors — only the
         # scalar sum of W is needed, so the table is never materialized
-        # (`dfsph_solver.rs:72-96`).
-        bb_wsum, bb_overflow = weighted_sum_over_neighbors(
-            boundaries.positions, boundaries.alive, bgroups,
-            bgrid, boundaries.positions, boundaries.alive, bgroups,
-            h, dim, nb.max_candidates,
-            same_model_always=True, w_fn=kd_w, query_chunk=nb.query_chunk,
-        )
-        boundaries = boundaries.replace(
-            volumes=boundary_volumes(bb_wsum, boundaries.alive)
-        )
+        # (`dfsph_solver.rs:72-96`). Skipped when the world marks the
+        # boundaries unchanged (volumes depend only on their positions).
+        if sim.recompute_boundary_volumes:
+            bb_wsum, bb_overflow = weighted_sum_over_neighbors(
+                boundaries.positions, boundaries.alive, bgroups,
+                bgrid, boundaries.positions, boundaries.alive, bgroups,
+                h, dim, nb.max_candidates,
+                same_model_always=True, w_fn=kd_w, query_chunk=nb.query_chunk,
+            )
+            boundaries = boundaries.replace(
+                volumes=boundary_volumes(bb_wsum, boundaries.alive)
+            )
+        else:
+            bb_overflow = jnp.zeros((), jnp.int32)
 
         ctx = StepContext(
             fluids=fluids,

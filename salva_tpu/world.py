@@ -163,6 +163,8 @@ class LiquidWorld:
         # state finiteness and surface overflow diagnostics as errors
         # instead of silent degradation.
         self.debug_checks = False
+        # Boundary volumes must be recomputed after any boundary change.
+        self._boundary_dirty = True
 
         self._force_set: Optional[ForceSet] = None
         self._elasticity_state = None
@@ -314,6 +316,7 @@ class LiquidWorld:
         self._boundary_alive[slots] = False
         self._boundary_slot_owner[slots] = -1
         self._boundary_records[handle].removed = True
+        self._boundary_dirty = True
 
     def _release_fluid_slots(self, slots: np.ndarray):
         if len(slots):
@@ -376,6 +379,7 @@ class LiquidWorld:
         )
         self._boundary_alive[slots] = True
         self._boundary_slot_owner[slots] = handle
+        self._boundary_dirty = True
         return slots
 
     # -- particle-level API (emitters / deletion, `fluid.rs:71-150`) -------
@@ -424,6 +428,7 @@ class LiquidWorld:
     def set_boundary_particles(self, handle: int, positions, velocities=None):
         """Replace all particles of a boundary (used by coupling to
         re-sample moving colliders each step)."""
+        self._boundary_dirty = True
         slots = np.where(self._boundary_slot_owner == handle)[0]
         n_new = len(positions)
         if len(slots) == n_new:
@@ -636,6 +641,14 @@ class LiquidWorld:
             return sim.replace(layout="gather")
         return sim
 
+    def _boundary_volume_mode(self, sim: SimConfig, coupling) -> SimConfig:
+        """Skip the boundary-volume pair pass on steps where no boundary
+        changed (volumes depend only on boundary positions)."""
+        recompute = self._boundary_dirty or coupling is not None
+        if sim.recompute_boundary_volumes != recompute:
+            sim = sim.replace(recompute_boundary_volumes=recompute)
+        return sim
+
     def step_with_coupling(self, dt: float, gravity, coupling):
         """Advance with two-way rigid-body coupling
         (`liquid_world.rs:67-158`). ``coupling`` follows the
@@ -645,9 +658,9 @@ class LiquidWorld:
         self._prepare()
         gravity = jnp.asarray(gravity, jnp.float32)
         num_fluids = max(self.num_fluids, 1)
+        sim_eff = self._boundary_volume_mode(self._effective_sim(), coupling)
         step_fn = get_jitted_step_fn(
-            self._effective_sim(), self.solver_config, self._force_set,
-            num_fluids,
+            sim_eff, self.solver_config, self._force_set, num_fluids
         )
 
         tm = self.timestep_manager
@@ -695,6 +708,8 @@ class LiquidWorld:
                     + self.last_diagnostics.ncontacts_fb
                 )
         self.counters.step_time.pause()
+        if coupling is None:
+            self._boundary_dirty = False
         if self.debug_checks:
             self._run_debug_checks()
 
