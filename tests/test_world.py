@@ -96,6 +96,27 @@ def test_z_sort_preserves_physics():
     np.testing.assert_allclose(a, b, atol=2e-3)
 
 
+def test_boundary_volume_caching():
+    """Steps without boundary changes reuse cached volumes; the cached
+    values equal a fresh recomputation."""
+    world, fluid, bnd = _dam_break_world(DFSPHConfig())
+    world.step(1.0 / 200.0, (0.0, -9.81))  # dirty step: computes volumes
+    assert world._boundary_dirty is False
+    vols1 = np.asarray(world.boundaries_state.volumes).copy()
+    assert vols1.max() > 0.0
+    world.step(1.0 / 200.0, (0.0, -9.81))  # clean step: reuses them
+    vols2 = np.asarray(world.boundaries_state.volumes)
+    np.testing.assert_array_equal(vols1, vols2)
+
+    # Touching the boundary re-marks dirty.
+    world.set_boundary_particles(
+        bnd, world.boundary_positions(bnd) + 0.01
+    )
+    assert world._boundary_dirty is True
+    world.step(1.0 / 200.0, (0.0, -9.81))
+    assert np.isfinite(np.asarray(world.boundaries_state.volumes)).all()
+
+
 def test_emitter_and_deletion():
     world, fluid, bnd = _dam_break_world(DFSPHConfig())
     n0 = len(world.fluid_positions(fluid))
