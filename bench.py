@@ -32,7 +32,6 @@ def main():
     from salva_tpu.config import DFSPHConfig, NeighborConfig
     from salva_tpu.sampling import shape_surface_sample
     from salva_tpu.scenes import cube_fluid
-    from salva_tpu.step import build_step_fn
     from salva_tpu.world import Boundary, Fluid, LiquidWorld
 
     target_n = int(os.environ.get("BENCH_N", "100000"))
@@ -79,36 +78,24 @@ def main():
     samples[:, 1] -= 0.1
     world.add_boundary(Boundary(samples))
 
-    world._prepare()
-    step_fn = jax.jit(
-        build_step_fn(
-            world.sim, world.solver_config, world._force_set,
-            max(world.num_fluids, 1),
-        )
-    )
     n_particles = int(np.asarray(world.fluids_state.alive).sum())
-    dt = jnp.float32(1.0 / 200.0)
-    gravity = jnp.asarray([0.0, -9.81, 0.0], jnp.float32)
+    dt = 1.0 / 200.0
+    gravity = (0.0, -9.81, 0.0)
 
-    def one(state):
-        fl, bd, ss = state
-        fl, bd, ss, diag = step_fn(fl, bd, ss, None, dt, gravity)
-        return (fl, bd, ss), diag
-
-    state = (world.fluids_state, world.boundaries_state, world._solver_state)
-
-    # Warmup: compile + reach the impact (splash starts within a few
-    # steps at 2 m/s from one radius up).
+    # Warmup through the real world.step path: compiles both program
+    # variants (boundary-volumes dirty + cached) and reaches the impact
+    # (splash starts within a few steps at 2 m/s from one radius up).
     warmup = int(os.environ.get("BENCH_WARMUP", "10"))
     for _ in range(warmup):
-        state, diag = one(state)
-    jax.block_until_ready(state)
+        world.step(dt, gravity)
+    jax.block_until_ready(world.fluids_state)
 
     t0 = time.perf_counter()
     for _ in range(steps):
-        state, diag = one(state)
-    jax.block_until_ready(state)
+        world.step(dt, gravity)
+    jax.block_until_ready(world.fluids_state)
     elapsed = time.perf_counter() - t0
+    diag = world.last_diagnostics
 
     if os.environ.get("BENCH_DEBUG"):
         import sys
