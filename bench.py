@@ -86,14 +86,20 @@ def main():
     # variants (boundary-volumes dirty + cached) and reaches the impact
     # (splash starts within a few steps at 2 m/s from one radius up).
     warmup = int(os.environ.get("BENCH_WARMUP", "10"))
+
+    def fence():
+        # Force completion with a value fetch: block_until_ready through
+        # the tunneled backend can acknowledge before execution finishes.
+        return float(jnp.sum(world.fluids_state.positions))
+
     for _ in range(warmup):
         world.step(dt, gravity)
-    jax.block_until_ready(world.fluids_state)
+    fence()
 
     t0 = time.perf_counter()
     for _ in range(steps):
         world.step(dt, gravity)
-    jax.block_until_ready(world.fluids_state)
+    fence()
     elapsed = time.perf_counter() - t0
     diag = world.last_diagnostics
 
