@@ -643,7 +643,14 @@ class LiquidWorld:
 
     def _boundary_volume_mode(self, sim: SimConfig, coupling) -> SimConfig:
         """Skip the boundary-volume pair pass on steps where no boundary
-        changed (volumes depend only on boundary positions)."""
+        changed (volumes depend only on boundary positions).
+
+        Only applied on the dense path: there the bb pass is the most
+        expensive fixed cost (capb^2), while on the gather path the
+        saving is negligible and would double the compiled variants.
+        """
+        if sim.domain is None or sim.layout == "gather":
+            return sim
         recompute = self._boundary_dirty or coupling is not None
         if sim.recompute_boundary_volumes != recompute:
             sim = sim.replace(recompute_boundary_volumes=recompute)
