@@ -43,7 +43,10 @@ def main():
     radius = 0.05
     nb = NeighborConfig(max_neighbors=64, max_candidates=224, query_chunk=65536)
     half = n_side * radius
-    wall = 2.0 * half + 0.5
+    # Box sized to the measured window: the block spreads < 1.5x its
+    # half-width during the ~0.15 s simulated; domain-clamp counts in the
+    # diagnostics would flag an undersized box.
+    wall = max(1.5 * half, half + 0.5)
     domain = (
         (-wall - 0.3, -0.4, -wall - 0.3),
         (wall + 0.3, 2.0 * half + 1.0, wall + 0.3),
