@@ -107,7 +107,7 @@ def build_dense_substep(sim: SimConfig, cfg: DFSPHConfig, num_fluids: int,
                 n_offsets=len(ctx.offsets), P=ctx.P, V=V2, M=ctx.M,
                 VOL=VOLg, R0=R0, RHO=ctx.rho, FID=ctx.FID, maskf=maskf,
                 Pb=ctx.Pb, Vbvel=ctx.Vbvel, Volb=ctx.Volb, maskb=ctx.maskb,
-                h=sim.h, dim=dim, inv_dt=inv_dt,
+                h=sim.h, dim=dim, dt=dt, inv_dt=inv_dt,
                 kernel_density=sim.kernel_density,
                 kernel_gradient=sim.kernel_gradient,
             )

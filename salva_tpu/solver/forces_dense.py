@@ -50,6 +50,7 @@ class DenseFields(NamedTuple):
     maskb: jnp.ndarray  # [capb, C]
     h: float
     dim: int
+    dt: jnp.ndarray
     inv_dt: jnp.ndarray
     kernel_density: str
     kernel_gradient: str
@@ -558,8 +559,20 @@ def to_dense_force(force) -> Optional[object]:
         He2014SurfaceTensionForce,
         WCSPHSurfaceTensionForce,
     )
-    from .viscosity import ArtificialViscosityForce, XSPHViscosityForce
+    from .viscosity import (
+        ArtificialViscosityForce,
+        DFSPHViscosityForce,
+        XSPHViscosityForce,
+    )
 
+    if isinstance(force, DFSPHViscosityForce):
+        return DFSPHViscosityDense(
+            force.viscosity_coefficients,
+            force.participating,
+            force.min_viscosity_iter,
+            force.max_viscosity_iter,
+            force.max_viscosity_error,
+        )
     if isinstance(force, XSPHViscosityForce):
         return XSPHViscosityDense(
             force.fluid_coefficients, force.boundary_coefficients
@@ -599,3 +612,239 @@ def to_dense_forces(force_set) -> Optional[Tuple]:
             return None
         out.append(dense)
     return tuple(out)
+
+
+@dataclasses.dataclass(frozen=True)
+class DFSPHViscosityDense:
+    """Dense implicit strain-rate projection viscosity
+    (`dfsph_viscosity.rs`; fluid-internal only, `:82-86`).
+
+    Hoisting (positions frozen, w_ij = m_j / (2 rho_i) restricted to
+    same-fluid participating pairs; G(g) is the [S, dim] strain operator
+    with S(g, v) = G(g) . v, identical to the gather path's
+    ``_gradient_matrix``):
+
+    - per-substep: ``Msum_i = sum_j w G_ij`` [S, dim] (both the
+      v_i'-term of the strain rate and the beta normal-equation ``gsum``),
+      ``sq_i = sum_j (w G)(w G)^T / rho_i`` [S, S], and
+      ``Nsum_i = sum_j vol_j G_ij^T`` [dim, S] (the u_i term of the
+      force update, `dfsph_viscosity.rs:293-333` i-side);
+    - per iteration: one S-channel pass ``TS_i = sum_j w G_ij v_j'`` for
+      the strain rate and one dim-channel pass
+      ``U_i = sum_j vol_j G_ij^T u_j`` for the update.
+    """
+
+    viscosity_coefficients: Tuple[float, ...]
+    participating: Tuple[int, ...]
+    min_viscosity_iter: int = 1
+    max_viscosity_iter: int = 50
+    max_viscosity_error: float = 0.01
+
+    def apply(self, f: DenseFields):
+        import jax
+
+        dim = f.dim
+        S = 3 if dim == 2 else 6
+        kg_w, kg_dw = get_kernel(f.kernel_gradient)
+        nu = per_slot(self.viscosity_coefficients, f.FID)
+        part = per_slot(tuple(float(v) for v in self.participating), f.FID)
+        rho = jnp.maximum(f.RHO, EPSILON)
+
+        def dwr_of(r2):
+            r = jnp.sqrt(r2)
+            safe = jnp.where(r > EPSILON, r, 1.0)
+            return jnp.where(r > EPSILON, kg_dw(r, f.h, f.dim) / safe, 0.0)
+
+        def g_rows(g):
+            """Rows of G(g): list of S lists of dim entries
+            (`dfsph_viscosity.rs:59-82`)."""
+            z = jnp.zeros_like(g[0])
+            if dim == 2:
+                return [
+                    [2.0 * g[0], z],
+                    [z, 2.0 * g[1]],
+                    [g[1], g[0]],
+                ]
+            return [
+                [2.0 * g[0], z, z],
+                [z, 2.0 * g[1], z],
+                [z, z, 2.0 * g[2]],
+                [g[1], g[0], z],
+                [g[2], z, g[0]],
+                [z, g[2], g[1]],
+            ]
+
+        # --- per-substep hoists --------------------------------------------
+        shape = f.maskf.shape
+        Msum = jnp.zeros((S, dim) + shape, jnp.float32)
+        Sq = jnp.zeros((S, S) + shape, jnp.float32)
+        Nsum = jnp.zeros((dim, S) + shape, jnp.float32)
+        for dpos, r2, within, j in _pairs(
+            f, "ff", {"m": f.M, "vol": f.VOL, "fid": f.FID}
+        ):
+            dwr = dwr_of(r2)
+            ok = within & (f.FID[:, None, :] == j["fid"][None, :, :])
+            okf = jnp.where(ok, 1.0, 0.0) * part[:, None, :]
+            g = [dpos[d] * dwr for d in range(dim)]
+            rows = g_rows(g)
+            w_pair = j["m"][None, :, :] / (2.0 * rho[:, None, :]) * okf
+            vol_pair = j["vol"][None, :, :] * okf
+            # wG [S, dim] per pair, reduced over j.
+            wG = [[rows[s][d] * w_pair for d in range(dim)] for s in range(S)]
+            Msum = Msum + jnp.stack(
+                [jnp.stack([jnp.sum(wG[s][d], axis=1) for d in range(dim)])
+                 for s in range(S)]
+            )
+            # (wG)(wG)^T / rho_i, reduced over j.
+            Sq = Sq + jnp.stack(
+                [
+                    jnp.stack(
+                        [
+                            jnp.sum(
+                                sum(wG[s][d] * wG[t][d] for d in range(dim)),
+                                axis=1,
+                            )
+                            / rho
+                            for t in range(S)
+                        ]
+                    )
+                    for s in range(S)
+                ]
+            )
+            Nsum = Nsum + jnp.stack(
+                [
+                    jnp.stack(
+                        [jnp.sum(rows[s][d] * vol_pair, axis=1)
+                         for s in range(S)]
+                    )
+                    for d in range(dim)
+                ]
+            )
+
+        # Beta: diag-preconditioned inverse of (Sq + Msum Msum^T / rho)
+        # (`dfsph_viscosity.rs:130-197`).
+        denom = Sq + jnp.einsum("sd...,td...->st...", Msum, Msum) / rho[None, None]
+        D = jnp.moveaxis(denom, (0, 1), (-2, -1))  # [cap, C, S, S]
+        diag = jnp.diagonal(D, axis1=-2, axis2=-1)
+        inv_diag = jnp.where(
+            jnp.abs(diag) < 1.0e-6, 1.0,
+            1.0 / jnp.where(diag == 0, 1.0, diag),
+        )
+        Dp = D * inv_diag[..., :, None]
+        det = jnp.linalg.det(Dp)
+        singular = jnp.abs(det) < 1.0e-6
+        safe = jnp.where(
+            singular[..., None, None], jnp.eye(S, dtype=Dp.dtype), Dp
+        )
+        beta = jnp.where(singular[..., None, None], 0.0, jnp.linalg.inv(safe))
+        beta = beta * inv_diag[..., None, :]  # [cap, C, S, S]
+
+        # --- per-iteration passes ------------------------------------------
+        def ts_pass(Vp):
+            """TS_i = sum_j w G_ij v_j' [S]."""
+            acc = jnp.zeros((S,) + shape, jnp.float32)
+            for dpos, r2, within, j in _pairs(
+                f, "ff", {"m": f.M, "v": Vp, "fid": f.FID}
+            ):
+                dwr = dwr_of(r2)
+                ok = within & (f.FID[:, None, :] == j["fid"][None, :, :])
+                w_pair = (
+                    jnp.where(ok, 1.0, 0.0) * part[:, None, :]
+                    * j["m"][None, :, :] / (2.0 * rho[:, None, :])
+                )
+                g = [dpos[d] * dwr for d in range(dim)]
+                rows = g_rows(g)
+                acc = acc + jnp.stack(
+                    [
+                        jnp.sum(
+                            sum(rows[s][d] * j["v"][d][None, :, :]
+                                for d in range(dim)) * w_pair,
+                            axis=1,
+                        )
+                        for s in range(S)
+                    ]
+                )
+            return acc
+
+        def u_pass(U):
+            """U_i = sum_j vol_j G_ij^T u_j [dim]."""
+            acc = jnp.zeros((dim,) + shape, jnp.float32)
+            for dpos, r2, within, j in _pairs(
+                f, "ff", {"vol": f.VOL, "u": U, "fid": f.FID}
+            ):
+                dwr = dwr_of(r2)
+                ok = within & (f.FID[:, None, :] == j["fid"][None, :, :])
+                vol_pair = (
+                    jnp.where(ok, 1.0, 0.0) * part[:, None, :]
+                    * j["vol"][None, :, :]
+                )
+                g = [dpos[d] * dwr for d in range(dim)]
+                rows = g_rows(g)
+                acc = acc + jnp.stack(
+                    [
+                        jnp.sum(
+                            sum(rows[s][d] * j["u"][s][None, :, :]
+                                for s in range(S)) * vol_pair,
+                            axis=1,
+                        )
+                        for d in range(dim)
+                    ]
+                )
+            return acc
+
+        def strain_rate(accel):
+            vp = f.V + accel * f.dt
+            ts = ts_pass(vp)
+            own = jnp.einsum("sd...,d...->s...", Msum, vp)
+            return ts - own
+
+        target = strain_rate(jnp.zeros_like(f.P)) * (1.0 - nu)[None]
+
+        live_part = (f.maskf > 0) & (part > 0)
+        counts = [
+            jnp.sum(jnp.where(live_part & (f.FID == fl), 1.0, 0.0))
+            for fl in range(len(self.viscosity_coefficients))
+        ]
+
+        def mean_err(err_vec):
+            contrib = jnp.sum(jnp.abs(err_vec), axis=0) / 6.0
+            err = jnp.zeros((), jnp.float32)
+            for fl, cnt in enumerate(counts):
+                s = jnp.sum(
+                    jnp.where(live_part & (f.FID == fl), contrib, 0.0)
+                )
+                err = jnp.maximum(
+                    err, jnp.where(cnt > 0, s / jnp.maximum(cnt, 1.0), 0.0)
+                )
+            return err
+
+        def body(carry):
+            i, accel, _, _ = carry
+            err_vec = strain_rate(accel) - target
+            err = mean_err(err_vec)
+            converged = (err <= self.max_viscosity_error) & (
+                i >= self.min_viscosity_iter
+            )
+
+            def update(a):
+                ev = jnp.moveaxis(err_vec, 0, -1)  # [cap, C, S]
+                u = jnp.einsum("...st,...t->...s", beta, ev)
+                u = jnp.moveaxis(u, -1, 0) / (rho * rho)[None]  # [S, cap, C]
+                upass = u_pass(u)
+                own = jnp.einsum("ds...,s...->d...", Nsum, u)
+                contrib = (own + upass) * (f.R0 * 0.5)[None]
+                return a + contrib * (f.VOL * f.R0)[None] * f.inv_dt
+
+            accel = jax.lax.cond(converged, lambda a: a, update, accel)
+            return i + 1, accel, err, converged
+
+        def cond(carry):
+            i, _, _, done = carry
+            return (i < self.max_viscosity_iter) & jnp.logical_not(done)
+
+        _, accel, _, _ = jax.lax.while_loop(
+            cond, body,
+            (jnp.zeros((), jnp.int32), jnp.zeros_like(f.P),
+             jnp.zeros((), jnp.float32), jnp.zeros((), bool)),
+        )
+        return accel, None

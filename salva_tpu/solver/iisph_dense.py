@@ -57,7 +57,7 @@ def build_dense_substep(sim: SimConfig, cfg: IISPHConfig, num_fluids: int,
                 VOL=ctx.to_f(fluids.volumes), R0=R0, RHO=ctx.rho,
                 FID=ctx.FID, maskf=maskf, Pb=ctx.Pb, Vbvel=ctx.Vbvel,
                 Volb=ctx.Volb, maskb=ctx.maskb, h=sim.h, dim=dim,
-                inv_dt=inv_dt, kernel_density=sim.kernel_density,
+                dt=dt, inv_dt=inv_dt, kernel_density=sim.kernel_density,
                 kernel_gradient=sim.kernel_gradient,
             )
             for force in dense_forces:

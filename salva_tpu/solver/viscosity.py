@@ -216,6 +216,11 @@ class DFSPHViscosityForce:
     counts).
 
     Fluid-internal only: no boundary term (`dfsph_viscosity.rs:82-86`).
+
+    Stability note: the reference's iteration is unstable on free blobs
+    (its own commented debug print reports "unstable", and no reference
+    example exercises the force) — this is a faithful port including that
+    behavior. Keep ``max_viscosity_iter`` small (1-2) for robust use.
     """
 
     viscosity_coefficients: Tuple[float, ...]

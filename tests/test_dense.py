@@ -103,6 +103,80 @@ def test_dense_matches_gather():
     assert int(dd.ncontacts_ff) == int(dg_.ncontacts_ff)
 
 
+def test_dense_dfsph_viscosity_matches_gather_single_apply():
+    """The implicit (strain-projection) viscosity: dense vs gather on one
+    application with identical inputs. The reference's iteration is
+    unstable on free blobs (upstream-acknowledged), so trajectories can't
+    be compared — the pair math can.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from salva_tpu.config import SimConfig
+    from salva_tpu.geometry import (
+        build_grid, evaluate_contacts, find_neighbors, dense_grid as dgrid,
+    )
+    from salva_tpu.object.state import BoundariesState, FluidsState
+    from salva_tpu.solver.common import StepContext
+    from salva_tpu.solver.dense_common import DenseCtx
+    from salva_tpu.solver.forces_dense import DenseFields, DFSPHViscosityDense
+    from salva_tpu.solver.viscosity import DFSPHViscosityForce
+
+    dim, h, n = 2, 0.2, 36
+    xs = (np.arange(6) * 0.1).astype(np.float32)
+    pos = np.stack(np.meshgrid(xs, xs, indexing="ij"), -1).reshape(-1, 2)
+    fl = FluidsState.empty(n, dim).replace(
+        positions=jnp.asarray(pos),
+        velocities=jax.random.normal(jax.random.PRNGKey(1), (n, dim)) * 0.1,
+        volumes=jnp.full((n,), 0.008),
+        density0=jnp.full((n,), 1000.0),
+        alive=jnp.ones((n,), bool),
+    )
+    bd = BoundariesState.empty(8, dim)
+    sim = SimConfig(dim=dim, particle_radius=0.05,
+                    domain=((-0.5, -0.5), (1.0, 1.0)))
+    spec_f = dgrid.spec_for_aabb((-0.5, -0.5), (1.0, 1.0), h, cap=12)
+    ctx = DenseCtx(sim, spec_f, spec_f.replace(cap=4), fl, bd)
+    dt = jnp.float32(1.0 / 200.0)
+    fields = DenseFields(
+        jff=ctx.jff, jfb=ctx.jfb, jbf=ctx.jbf, n_offsets=len(ctx.offsets),
+        P=ctx.P, V=ctx.V, M=ctx.M, VOL=ctx.to_f(fl.volumes), R0=ctx.R0,
+        RHO=ctx.rho, FID=ctx.FID, maskf=ctx.maskf, Pb=ctx.Pb,
+        Vbvel=ctx.Vbvel, Volb=ctx.Volb, maskb=ctx.maskb, h=h, dim=dim,
+        dt=dt, inv_dt=jnp.float32(200.0),
+        kernel_density="cubic", kernel_gradient="cubic",
+    )
+    a_dense, _ = DFSPHViscosityDense(
+        (0.5,), (1,), max_viscosity_iter=1
+    ).apply(fields)
+    a_dense = np.asarray(ctx.unbin_f(a_dense, jnp.zeros_like(fl.positions)))
+
+    gi = fl.groups()
+    grid = build_grid(fl.positions, fl.alive, h, dim)
+    nl = find_neighbors(fl.positions, fl.alive, gi, grid, fl.positions,
+                        fl.alive, gi, h, dim, 64, 160, True,
+                        query_chunk=4096)
+    ff = evaluate_contacts(fl.positions, fl.positions, nl, h, dim)
+    nlb = find_neighbors(fl.positions, fl.alive, gi,
+                         build_grid(bd.positions, bd.alive, h, dim),
+                         bd.positions, bd.alive, bd.groups(), h, dim, 8, 16,
+                         False, query_chunk=4096)
+    fb = evaluate_contacts(fl.positions, bd.positions, nlb, h, dim)
+    sctx = StepContext(
+        fluids=fl, boundaries=bd, ff=ff, fb=fb,
+        densities=ctx.unbin_f(ctx.rho, fl.density0),
+        dt=dt, inv_dt=jnp.float32(200.0), dim=dim, h=h, num_fluids=1,
+    )
+    a_gather, _ = DFSPHViscosityForce(
+        (0.5,), (1,), max_viscosity_iter=1
+    ).apply(sctx)
+    a_gather = np.asarray(a_gather)
+
+    assert np.isfinite(a_dense).all() and np.isfinite(a_gather).all()
+    assert np.abs(a_gather).max() > 1.0  # non-trivial output
+    np.testing.assert_allclose(a_dense, a_gather, rtol=2e-3, atol=1e-2)
+
+
 def test_dense_iisph_matches_gather():
     def build(layout):
         world = LiquidWorld(
