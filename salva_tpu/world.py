@@ -224,7 +224,11 @@ class LiquidWorld:
             self._solver_state = _grow_solver_state(
                 self._solver_state, new_cap, self.dim
             )
-        self._elasticity_dirty = self._elasticity_state is not None
+        # Rest-state slot indices are invalidated by the capacity change;
+        # never CLEAR an already-pending dirty flag (growth happens inside
+        # add_fluid, before the first rebuild).
+        if self._elasticity_state is not None:
+            self._elasticity_dirty = True
 
     def _grow_boundaries(self, needed: int):
         cap = self.boundaries_state.capacity

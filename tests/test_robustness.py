@@ -51,6 +51,25 @@ def test_debug_checks_raise_on_nan():
         world.step(1.0 / 200.0, (0.0, -9.81))
 
 
+def test_elasticity_survives_capacity_growth():
+    """Regression: adding an elastic fluid larger than the initial slot
+    capacity used to clear the rest-state rebuild flag during growth,
+    leaving the elasticity state unset (None) at step time."""
+    from salva_tpu import forces
+
+    world = LiquidWorld(
+        solver=DFSPHConfig(), particle_radius=0.05, dim=2, neighbors=NB,
+    )
+    pos = cube_positions(10, 0.05, 2, origin=(0.0, 1.0))  # 100 > 64 slots
+    fl = world.add_fluid(
+        Fluid(pos, density0=1000.0, nonpressure_forces=[
+            forces.Becker2009Elasticity(50_000.0, 0.3, True)])
+    )
+    world.step(1.0 / 200.0, (0.0, -9.81))
+    assert world._elasticity_state is not None
+    assert np.isfinite(world.fluid_positions(fl)).all()
+
+
 def test_faucet_long_run_grows_capacity():
     """Emitter across capacity growth boundaries stays finite and the
     deletion rule holds (faucet3, 30 steps)."""
