@@ -27,6 +27,8 @@ def _run_and_check(scene, steps=2):
         "custom_forces2",
         "custom_forces3",
         "faucet3",
+        "layers2",
+        "elasticity2",
     ],
 )
 def test_scene_smoke(name):
