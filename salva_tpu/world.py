@@ -91,6 +91,9 @@ class _FluidRecord:
     density0: float
     groups: InteractionGroups
     nonpressure_forces: List
+    # Per-fluid particle radius drives the particle volume/mass
+    # (`fluid.rs:22,110-120`); the kernel radius h stays world-level.
+    particle_radius: float = 0.0
     removed: bool = False
 
 
@@ -171,6 +174,16 @@ class LiquidWorld:
         self._elasticity_dirty = False
         self._solver_state = None
         self.last_diagnostics: Optional[StepDiagnostics] = None
+        # Deferred particle removal (`fluid.rs:71-98`): global slot ids
+        # flagged between steps, released at the next step start.
+        self._pending_deletions: set = set()
+        # Capacity-overflow warnings are on by default (undersized
+        # dense_cap / max_neighbors must be loud); checked on the first
+        # step and every ``overflow_check_interval`` steps after to keep
+        # the host-device sync off the hot dispatch path.
+        self.warn_overflow = True
+        self.overflow_check_interval = 16
+        self._steps_taken = 0
 
     # -- basic accessors ---------------------------------------------------
 
@@ -280,6 +293,11 @@ class LiquidWorld:
                 density0=fluid.density0,
                 groups=fluid.interaction_groups,
                 nonpressure_forces=fluid.nonpressure_forces,
+                particle_radius=(
+                    float(fluid.particle_radius)
+                    if fluid.particle_radius is not None
+                    else self.particle_radius
+                ),
             )
         )
         self._force_set = None
@@ -335,7 +353,7 @@ class LiquidWorld:
         n = len(positions)
         slots = self._alloc_fluid_slots(n)
         idx = jnp.asarray(slots)
-        vol = particle_volume(self.particle_radius, self.dim)
+        vol = particle_volume(rec.particle_radius, self.dim)
         st = self.fluids_state
         pos = jnp.asarray(positions, jnp.float32)
         vel = (
@@ -406,11 +424,66 @@ class LiquidWorld:
         return slots
 
     def delete_particles(self, handle: int, indices):
-        """Delete particles by index within the fluid (the immediate analog
-        of `delete_particle_at_next_timestep` + `apply_particles_removal`,
-        `fluid.rs:71-98` — deletions between steps are immediate here)."""
+        """Delete particles by index within the fluid, immediately (the
+        eager variant; see :meth:`delete_particle_at_next_timestep` for
+        the reference's deferred semantics)."""
         slots = self.fluid_slots(handle)[np.asarray(indices)]
         self._release_fluid_slots(slots)
+
+    def delete_particle_at_next_timestep(self, handle: int, index: int):
+        """Mark a particle for removal at the start of the next step
+        (`Fluid::delete_particle_at_next_timestep`, `fluid.rs:71-77`;
+        applied by the step like `apply_particles_removal`,
+        `liquid_world.rs:79-81`). Callbacks reading state between the flag
+        and the next step still see the particle, like the reference."""
+        slot = int(self.fluid_slots(handle)[int(index)])
+        self._pending_deletions.add(slot)
+
+    def num_deleted_particles(self, handle: int) -> int:
+        """Particles of ``handle`` marked for deferred removal
+        (`fluid.rs:79-82`)."""
+        owner = self._fluid_slot_owner
+        return sum(1 for s in self._pending_deletions if owner[s] == handle)
+
+    def _apply_particles_removal(self):
+        """Apply deferred deletions (`fluid.rs:88-98`)."""
+        if self._pending_deletions:
+            self._release_fluid_slots(
+                np.fromiter(self._pending_deletions, np.int64)
+            )
+            self._pending_deletions.clear()
+
+    def transform_fluid_by(self, handle: int, rotation=None, translation=None):
+        """Apply an isometry to all particles of a fluid
+        (`Fluid::transform_by`, `fluid.rs:166-168`). ``rotation`` is a
+        ``[dim, dim]`` matrix (None = identity)."""
+        self._transform_slots(
+            self.fluids_state, "fluids_state", self.fluid_slots(handle),
+            rotation, translation,
+        )
+
+    def transform_boundary_by(self, handle: int, rotation=None,
+                              translation=None):
+        """Apply an isometry to all particles of a boundary
+        (`Boundary::transform_by`, `boundary.rs:55-57`)."""
+        self._transform_slots(
+            self.boundaries_state, "boundaries_state",
+            self.boundary_slots(handle), rotation, translation,
+        )
+        self._boundary_dirty = True
+
+    def _transform_slots(self, state, attr, slots, rotation, translation):
+        if not len(slots):
+            return
+        idx = jnp.asarray(slots)
+        pos = state.positions[idx]
+        if rotation is not None:
+            pos = pos @ jnp.asarray(rotation, jnp.float32).T
+        if translation is not None:
+            pos = pos + jnp.asarray(translation, jnp.float32)
+        setattr(
+            self, attr, state.replace(positions=state.positions.at[idx].set(pos))
+        )
 
     def fluid_positions(self, handle: int) -> np.ndarray:
         return np.asarray(self.fluids_state.positions)[self.fluid_slots(handle)]
@@ -666,6 +739,7 @@ class LiquidWorld:
         `CouplingManager` protocol (`coupling/base.py`) or is None."""
         self.counters.reset()
         self.counters.step_time.start()
+        self._apply_particles_removal()
         self._prepare()
         gravity = jnp.asarray(gravity, jnp.float32)
         num_fluids = max(self.num_fluids, 1)
@@ -678,14 +752,19 @@ class LiquidWorld:
         tm.reset(dt)
         while not tm.is_done():
             if tm.adaptive:
+                # Reference CFL (`timestep_manager.rs:36-46`):
+                # max ||v_i + a_i * t_remaining||. Accelerations are not
+                # persistent state in this architecture (they are folded
+                # inside the jitted substep), so the one acceleration known
+                # at substep start — gravity, the dominant term — stands in
+                # for a_i.
+                v_pred = (
+                    self.fluids_state.velocities
+                    + gravity[None, :] * tm.remaining_time
+                )
+                speed = jnp.sqrt(jnp.sum(v_pred * v_pred, axis=-1))
                 vmax = float(
-                    jnp.max(
-                        jnp.where(
-                            self.fluids_state.alive[:, None],
-                            jnp.abs(self.fluids_state.velocities),
-                            0.0,
-                        )
-                    )
+                    jnp.max(jnp.where(self.fluids_state.alive, speed, 0.0))
                 )
             else:
                 vmax = 0.0
@@ -721,8 +800,36 @@ class LiquidWorld:
         self.counters.step_time.pause()
         if coupling is None:
             self._boundary_dirty = False
+        self._steps_taken += 1
         if self.debug_checks:
             self._run_debug_checks()
+        elif self.warn_overflow and (
+            self._steps_taken == 1
+            or self._steps_taken % max(self.overflow_check_interval, 1) == 0
+        ):
+            self._warn_on_overflow()
+
+    def _warn_on_overflow(self):
+        """Default failure surfacing: capacity overflow silently drops
+        contacts, so it must be loud even without ``debug_checks``."""
+        import warnings
+
+        d = self.last_diagnostics
+        if d is None:
+            return
+        n_over = int(d.neighbor_overflow)
+        c_over = int(d.candidate_overflow)
+        if n_over > 0:
+            warnings.warn(
+                f"neighbor capacity overflow: {n_over} entries dropped — "
+                "physics degraded; raise max_neighbors / dense_cap"
+            )
+        if c_over > 0:
+            warnings.warn(
+                f"candidate window / domain overflow: {c_over} (particles "
+                "clamped or candidates truncated); enlarge the domain or "
+                "max_candidates"
+            )
 
     def _run_debug_checks(self):
         """Failure detection (SURVEY.md §5.3): raise on non-finite state,

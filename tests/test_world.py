@@ -127,3 +127,91 @@ def test_emitter_and_deletion():
     assert len(world.fluid_positions(fluid)) == n0 + 9 - 5
     world.step(1.0 / 200.0, (0.0, -9.81))
     assert np.all(np.isfinite(world.fluid_positions(fluid)))
+
+
+def test_per_fluid_particle_radius_drives_volume():
+    """`Fluid::particle_radius` drives particle volume (`fluid.rs:110-120`:
+    V = 4*0.8*r^2 in 2D), independently per fluid."""
+    world = LiquidWorld(particle_radius=RADIUS, dim=2, neighbors=NEIGHBORS)
+    fa = world.add_fluid(Fluid([[0.0, 0.0]], density0=1000.0))
+    fb = world.add_fluid(
+        Fluid([[0.5, 0.0]], density0=1000.0, particle_radius=2.0 * RADIUS)
+    )
+    vols = np.asarray(world.fluids_state.volumes)
+    va = vols[world.fluid_slots(fa)][0]
+    vb = vols[world.fluid_slots(fb)][0]
+    assert va == pytest.approx(4.0 * 0.8 * RADIUS**2, rel=1e-6)
+    assert vb == pytest.approx(4.0 * 0.8 * (2 * RADIUS) ** 2, rel=1e-6)
+
+
+def test_transform_by():
+    """`Fluid::transform_by` / `Boundary::transform_by`
+    (`fluid.rs:166-168`, `boundary.rs:55-57`)."""
+    world = LiquidWorld(particle_radius=RADIUS, dim=2, neighbors=NEIGHBORS)
+    fh = world.add_fluid(Fluid([[1.0, 0.0], [0.0, 1.0]]))
+    bh = world.add_boundary(Boundary([[2.0, 0.0]]))
+    rot90 = np.array([[0.0, -1.0], [1.0, 0.0]], np.float32)
+    world.transform_fluid_by(fh, rotation=rot90, translation=(0.0, 0.5))
+    world.transform_boundary_by(bh, translation=(0.0, -1.0))
+    np.testing.assert_allclose(
+        world.fluid_positions(fh),
+        [[0.0, 1.5], [-1.0, 0.5]],
+        atol=1e-6,
+    )
+    np.testing.assert_allclose(
+        world.boundary_positions(bh), [[2.0, -1.0]], atol=1e-6
+    )
+    assert world._boundary_dirty
+
+
+def test_deferred_particle_deletion():
+    """`delete_particle_at_next_timestep` keeps the particle visible until
+    the next step start (`fluid.rs:71-98`, `liquid_world.rs:79-81`)."""
+    world, fluid, _ = _dam_break_world(DFSPHConfig())
+    n0 = len(world.fluid_positions(fluid))
+    world.delete_particle_at_next_timestep(fluid, 0)
+    world.delete_particle_at_next_timestep(fluid, 0)  # idempotent
+    world.delete_particle_at_next_timestep(fluid, 1)
+    assert world.num_deleted_particles(fluid) == 2
+    # Still present between the flag and the next step.
+    assert len(world.fluid_positions(fluid)) == n0
+    world.step(1.0 / 200.0, (0.0, -9.81))
+    assert len(world.fluid_positions(fluid)) == n0 - 2
+    assert world.num_deleted_particles(fluid) == 0
+
+
+def test_overflow_warns_by_default():
+    """An undersized neighbor capacity is loud on the first step even
+    without debug_checks."""
+    import warnings
+
+    world = LiquidWorld(
+        particle_radius=RADIUS,
+        dim=2,
+        neighbors=NeighborConfig(max_neighbors=2, max_candidates=16,
+                                 query_chunk=4096),
+    )
+    world.add_fluid(Fluid(cube_positions(6, RADIUS, 2), density0=1000.0))
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        world.step(1.0 / 200.0, (0.0, -9.81))
+    assert any("overflow" in str(w.message) for w in caught), [
+        str(w.message) for w in caught
+    ]
+
+
+def test_adaptive_cfl_uses_speed_norm():
+    """Adaptive CFL follows `timestep_manager.rs:36-46`:
+    dt = 2r*cfl / max||v + a*t_remaining||, clamped to 1..10 substeps."""
+    world = LiquidWorld(
+        particle_radius=RADIUS, dim=2, neighbors=NEIGHBORS,
+        adaptive_timestep=True,
+    )
+    v = (3.0, 4.0)  # speed 5: per-component max would give 4
+    world.add_fluid(Fluid([[0.0, 0.0]], velocities=[v]))
+    dt = 1.0 / 200.0
+    world.step(dt, (0.0, 0.0))  # zero gravity: a-term drops out
+    tm = world.timestep_manager
+    expected = 2.0 * RADIUS / 5.0 * tm.cfl_coeff
+    expected = min(max(expected, dt / tm.max_num_substeps), dt)
+    assert tm.dt == pytest.approx(expected, rel=1e-5)
