@@ -102,6 +102,11 @@ class Collider:
     local_translation: np.ndarray
     local_rotation: np.ndarray  # [dim, dim]
     density: float = 1000.0
+    # Lazily-cached local-frame surface samples used as contact points
+    # against static geometry (None until first contact pass).
+    _contact_samples: Optional[np.ndarray] = dataclasses.field(
+        default=None, repr=False
+    )
 
 
 class RigidBody:
@@ -257,17 +262,37 @@ class RigidBodyWorld:
     def body_of_collider(self, collider_id: int) -> RigidBody:
         return self.bodies[self.colliders[collider_id].body]
 
-    def step(self, dt: float, gravity):
-        """Integrate free-body motion (gravity + velocities).
+    # Contact resolution parameters (rapier-role defaults): zero
+    # restitution, Coulomb friction, Baumgarte-style position projection.
+    contacts_enabled: bool = True
+    friction: float = 0.5
+    restitution: float = 0.0
+    contact_iterations: int = 8
+    contact_slop: float = 1.0e-4
 
-        Contact resolution between rigid bodies is out of scope — the
-        example scenes rely on fluid forces and fixed geometry only.
+    def step(self, dt: float, gravity):
+        """Integrate body motion with contact resolution against static
+        geometry.
+
+        In the reference, rapier resolves body<->body and body<->static
+        contacts around the fluid step (e.g. `examples3d/basic3.rs:43-116`:
+        dropped cuboids/balls rest on the ground and walls). This plays
+        that role for the subset the example scenes need: impulse-based
+        contacts of each *dynamic* collider against all *fixed-body*
+        colliders (sequential impulses + friction, then position
+        projection). Dynamic-dynamic pairs are not resolved.
         """
         gravity = np.asarray(gravity, np.float32)
         for b in self.bodies:
             if not b.is_dynamic:
                 continue
             b.linvel = b.linvel + gravity * dt
+        if self.contacts_enabled:
+            contacts = self._find_contacts()
+            self._solve_contact_velocities(contacts)
+        for b in self.bodies:
+            if not b.is_dynamic:
+                continue
             b.translation = b.translation + b.linvel * dt
             if self.dim == 2:
                 angle = np.arctan2(b.rotation[1, 0], b.rotation[0, 0])
@@ -276,3 +301,137 @@ class RigidBodyWorld:
                 b.rotation = _orthonormalize(
                     b.rotation + dt * _skew3(b.angvel) @ b.rotation
                 )
+        if self.contacts_enabled:
+            self._project_positions()
+
+    # -- contact resolution (dynamic collider vs static geometry) ----------
+
+    def _collider_samples(self, c: Collider) -> np.ndarray:
+        """Local-frame surface contact samples of a collider (cached)."""
+        if c._contact_samples is None:
+            from ..sampling.shape_sampling import (
+                _shape_aabb,
+                shape_surface_sample,
+            )
+
+            mins, maxs = _shape_aabb(c.shape, self.dim)
+            extent = float(np.max(np.asarray(maxs) - np.asarray(mins)))
+            # ~dozens of samples: spacing = extent / 6 (2x sample radius).
+            r = max(extent / 12.0, 1.0e-4)
+            pts = np.asarray(
+                shape_surface_sample(c.shape, r, self.dim), np.float32
+            )
+            if len(pts) == 0:
+                pts = np.zeros((1, self.dim), np.float32)
+            c._contact_samples = (
+                pts @ c.local_rotation.T + c.local_translation[None, :]
+            ).astype(np.float32)
+        return c._contact_samples
+
+    def _find_contacts(self, margin: float = 0.0):
+        """(body, point, normal, depth) of every penetrating sample of a
+        dynamic collider against a fixed-body collider. Normals point out
+        of the static shape (the push direction)."""
+        from .. import shapes as shp
+
+        static_ids = [
+            i
+            for i, c in enumerate(self.colliders)
+            if not self.bodies[c.body].is_dynamic
+        ]
+        dynamic_ids = [
+            i
+            for i, c in enumerate(self.colliders)
+            if self.bodies[c.body].is_dynamic
+        ]
+        contacts = []
+        for cd_id in dynamic_ids:
+            cd = self.colliders[cd_id]
+            body = self.bodies[cd.body]
+            local = self._collider_samples(cd)
+            pts = local @ body.rotation.T + body.translation[None, :]
+            for cs_id in static_ids:
+                cs = self.colliders[cs_id]
+                R, t = self.collider_pose(cs_id)
+                _, d, n = shp.project_point(
+                    cs.shape, pts.astype(np.float32), R, t
+                )
+                d = np.asarray(d)
+                n = np.asarray(n)
+                hit = d < margin
+                for i in np.where(hit)[0]:
+                    contacts.append(
+                        (body, pts[i], n[i].astype(np.float32), float(-d[i]))
+                    )
+        return contacts
+
+    def _effective_mass(self, b: RigidBody, r: np.ndarray, axis: np.ndarray
+                        ) -> float:
+        if self.dim == 2:
+            rn = r[0] * axis[1] - r[1] * axis[0]
+            return b.inv_mass + rn * rn * b._inv_inertia()
+        rn = np.cross(r, axis)
+        R = b.rotation
+        iw = R @ (b._inv_inertia() * (R.T @ rn))
+        return b.inv_mass + float(np.dot(np.cross(iw, r), axis))
+
+    def _solve_contact_velocities(self, contacts):
+        """Sequential impulses with accumulated-impulse clamping and a
+        Coulomb friction cone."""
+        if not contacts:
+            return
+        acc_n = [0.0] * len(contacts)
+        for _ in range(self.contact_iterations):
+            for ci, (b, p, n, _depth) in enumerate(contacts):
+                r = p - b.translation
+                v = b.velocity_at_point(p)
+                vn = float(np.dot(v, n))
+                kn = self._effective_mass(b, r, n)
+                if kn <= 0.0:
+                    continue
+                j = -(1.0 + self.restitution) * vn / kn
+                new_acc = max(acc_n[ci] + j, 0.0)
+                dj = new_acc - acc_n[ci]
+                acc_n[ci] = new_acc
+                if dj != 0.0:
+                    b.apply_impulse_at_point(dj * n, p)
+                # Friction: oppose the tangential velocity, clamped to
+                # mu * normal impulse per iteration (no tangent
+                # accumulator — adequate for resting stacks).
+                if self.friction > 0.0 and acc_n[ci] > 0.0:
+                    v = b.velocity_at_point(p)
+                    vt = v - float(np.dot(v, n)) * n
+                    vt_norm = float(np.linalg.norm(vt))
+                    if vt_norm > 1.0e-6:
+                        t = vt / vt_norm
+                        kt = self._effective_mass(b, r, t)
+                        if kt > 0.0:
+                            jt = -vt_norm / kt
+                            jt = float(
+                                np.clip(
+                                    jt,
+                                    -self.friction * acc_n[ci],
+                                    self.friction * acc_n[ci],
+                                )
+                            )
+                            b.apply_impulse_at_point(jt * t, p)
+
+    def _project_positions(self, beta: float = 0.8, passes: int = 2):
+        """Translate bodies out of residual penetration (depth beyond the
+        slop), a position-level Baumgarte correction."""
+        for _ in range(passes):
+            contacts = self._find_contacts(margin=-self.contact_slop)
+            if not contacts:
+                return
+            push: dict = {}
+            for b, _p, n, depth in contacts:
+                key = id(b)
+                corr = (depth - self.contact_slop) * beta
+                best = push.get(key)
+                if best is None or corr > best[1]:
+                    push[key] = (b, corr, n)
+            for b, corr, n in push.values():
+                if corr > 0.0:
+                    b.translation = (
+                        b.translation + corr * n
+                    ).astype(np.float32)

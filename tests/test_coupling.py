@@ -114,3 +114,50 @@ def test_unregister_coupling():
     )
     assert pip.coupling.unregister_coupling(co) == bo
     assert pip.coupling.unregister_coupling(co) is None
+
+
+def test_rigid_bodies_rest_on_static_floor():
+    """With fluid absent, dropped dynamic bodies come to rest ON a fixed
+    floor instead of falling through (the role rapier plays in
+    `examples3d/basic3.rs:43-116`)."""
+    from salva_tpu.coupling.rigid_body import RigidBodyWorld
+
+    world = RigidBodyWorld(dim=3)
+    ground = world.add_body("fixed", translation=(0.0, -0.1, 0.0))
+    world.add_collider(ground, shapes.Cuboid((2.0, 0.1, 2.0)))
+    rad = 0.2
+    cube = world.add_body("dynamic", translation=(0.0, 1.0, 0.0))
+    world.add_collider(cube, shapes.Cuboid((rad, rad, rad)), density=800.0)
+    ball = world.add_body("dynamic", translation=(1.0, 1.5, 0.0))
+    world.add_collider(ball, shapes.Ball(rad), density=800.0)
+
+    dt = 1.0 / 100.0
+    for _ in range(250):
+        world.step(dt, (0.0, -9.81, 0.0))
+
+    for handle in (cube, ball):
+        b = world.bodies[handle]
+        # Resting on the floor top (y=0) within sampling tolerance, not
+        # fallen through, and essentially motionless.
+        assert b.translation[1] > 0.5 * rad, b.translation
+        assert b.translation[1] < 2.0 * rad, b.translation
+        assert float(np.linalg.norm(b.linvel)) < 0.1, b.linvel
+
+
+def test_rigid_body_friction_stops_slide():
+    """A box sliding on the floor is slowed by Coulomb friction."""
+    from salva_tpu.coupling.rigid_body import RigidBodyWorld
+
+    world = RigidBodyWorld(dim=2)
+    ground = world.add_body("fixed", translation=(0.0, -0.1))
+    world.add_collider(ground, shapes.Cuboid((10.0, 0.1)))
+    box = world.add_body("dynamic", translation=(0.0, 0.2))
+    world.add_collider(box, shapes.Cuboid((0.2, 0.2)), density=800.0)
+    world.bodies[box].linvel = np.array([2.0, 0.0], np.float32)
+
+    dt = 1.0 / 100.0
+    for _ in range(300):
+        world.step(dt, (0.0, -9.81))
+    b = world.bodies[box]
+    assert abs(b.linvel[0]) < 0.05, b.linvel
+    assert b.translation[1] > 0.05, b.translation
