@@ -200,7 +200,9 @@ def _basic_or_layers_2d(name: str, grouped: bool) -> Scene:
     """Shared body of basic2 / layers2 (`examples2d/basic2.rs`,
     `examples2d/layers2.rs` — identical geometry, different groups)."""
     r = 0.1
-    pip = FluidsPipeline(r, 2.0, dim=2)
+    # Static domain box -> the dense fast path (elasticity runs on it via
+    # its static rest topology; see forces_dense.ParticleWiseForce).
+    pip = FluidsPipeline(r, 2.0, dim=2, domain=((-4.0, -1.5), (4.0, 12.0)))
     ni, nj = 25, 15
     shift2 = nj * r * 2.0
 
@@ -303,7 +305,7 @@ def surface_tension3() -> Scene:
 def elasticity2() -> Scene:
     """Two elastic blocks, 2D (`examples2d/elasticity2.rs`)."""
     r = 0.1
-    pip = FluidsPipeline(r, 2.0, dim=2)
+    pip = FluidsPipeline(r, 2.0, dim=2, domain=((-4.0, -1.5), (4.0, 9.0)))
     ground_thickness, ground_half_width = 0.2, 3.0
     height = 0.4
     nx, ny = 25, 15
@@ -329,7 +331,9 @@ def elasticity2() -> Scene:
 def elasticity3() -> Scene:
     """Two elastic blocks, 3D (`examples3d/elasticity3.rs:42-90`)."""
     r = 0.05
-    pip = FluidsPipeline(r, 2.0, dim=3)
+    pip = FluidsPipeline(
+        r, 2.0, dim=3, domain=((-2.0, -0.5, -2.0), (2.0, 3.2, 2.0))
+    )
     ground_thickness, ground_half_width = 0.2, 1.5
     height, n = 0.4, 6
     handles = []

@@ -45,7 +45,6 @@ def build_dense_substep(sim: SimConfig, cfg: DFSPHConfig, num_fluids: int,
 
     def substep(fluids: FluidsState, boundaries: BoundariesState,
                 velocity_changes, es, dt, gravity):
-        del es  # elasticity is gather-path only
         dt = jnp.asarray(dt, jnp.float32)
         inv_dt = jnp.where(dt > 0, 1.0 / dt, 0.0)
         boundaries = boundaries.clear_forces()
@@ -99,7 +98,7 @@ def build_dense_substep(sim: SimConfig, cfg: DFSPHConfig, num_fluids: int,
         A = jnp.asarray(gravity, jnp.float32).reshape(dim, 1, 1) * maskf[None]
         np_Fb = jnp.zeros_like(ctx.Pb)
         if dense_forces:
-            from .forces_dense import DenseFields
+            from .forces_dense import DenseFields, ParticleWiseForce
 
             VOLg = ctx.to_f(fluids.volumes)
             fields = DenseFields(
@@ -112,6 +111,12 @@ def build_dense_substep(sim: SimConfig, cfg: DFSPHConfig, num_fluids: int,
                 kernel_gradient=sim.kernel_gradient,
             )
             for force in dense_forces:
+                if isinstance(force, ParticleWiseForce):
+                    # Static-topology force (elasticity): particle layout,
+                    # one scatter into the grid.
+                    a_p = force.force.apply_particles(fluids, es, dim)
+                    A = A + ctx.to_f(a_p) * maskf[None]
+                    continue
                 a_d, fb_d = force.apply(fields)
                 A = A + a_d * maskf[None]
                 if fb_d is not None:

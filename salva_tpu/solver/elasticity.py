@@ -22,7 +22,6 @@ import jax.numpy as jnp
 from flax import struct
 
 from .common import StepContext
-from .nonpressure import per_particle
 
 
 @struct.dataclass
@@ -146,16 +145,27 @@ class Becker2009ElasticityForce:
     kind: str = dataclasses.field(default="becker2009_elasticity", init=False)
 
     def apply(self, ctx: StepContext, es: ElasticityState):
-        dim = ctx.dim
-        fl = ctx.fluids
+        accel = self.apply_particles(ctx.fluids, es, ctx.dim)
+        return accel, jnp.zeros_like(ctx.boundaries.forces)
+
+    def apply_particles(self, fl, es: ElasticityState, dim: int):
+        """Particle-layout core: accel [N, dim] from positions + the rest
+        contact table only. The rest topology is static (no spatial
+        search), so this also runs inside the dense substep, which
+        scatters the result into the grid once
+        (`becker2009_elasticity.rs:268-334`)."""
         pos = fl.positions
         j = es.rest_j
         mask = es.rest_mask
-        active_i = per_particle(self.active, ctx)
-        d0_i = per_particle(self.d0, ctx)
-        d1_i = per_particle(self.d1, ctx)
-        d2_i = per_particle(self.d2, ctx)
-        nonlin_i = per_particle(self.nonlinear, ctx)
+
+        def per_fluid(values):
+            return jnp.asarray(values, jnp.float32)[fl.fluid_id]
+
+        active_i = per_fluid(self.active)
+        d0_i = per_fluid(self.d0)
+        d1_i = per_fluid(self.d1)
+        d2_i = per_fluid(self.d2)
+        nonlin_i = per_fluid(self.nonlinear)
 
         p_ji = pos[j] - pos[:, None, :]  # [N, Ke, dim]
         p0_ji = es.positions0[j] - es.positions0[:, None, :]
@@ -240,5 +250,4 @@ class Becker2009ElasticityForce:
         m_i = fl.volumes * fl.density0
         safe_m = jnp.where(m_i > 0.0, m_i, 1.0)
         accel = jnp.sum(force * mask[..., None], axis=1) / safe_m[:, None]
-        accel = accel * active_i[:, None]
-        return accel, jnp.zeros_like(ctx.boundaries.forces)
+        return accel * active_i[:, None]

@@ -552,8 +552,24 @@ class He2014SurfaceTensionDense:
         return accel, Fb
 
 
+@dataclasses.dataclass(frozen=True)
+class ParticleWiseForce:
+    """Dense-substep adapter for forces evaluated in particle layout.
+
+    Becker elasticity reads only positions and its *static* rest-contact
+    table (`becker2009_elasticity.rs:268-334`) — no spatial search — so
+    inside the dense substep it runs directly on the particle arrays via
+    ``force.apply_particles(fluids, es, dim)`` and its acceleration is
+    scattered into the grid once. This keeps elastic fluids on the dense
+    fast path instead of dragging the whole scene onto the gather layout.
+    """
+
+    force: object
+
+
 def to_dense_force(force) -> Optional[object]:
     """Dense counterpart of a gather-layout force config, or None."""
+    from .elasticity import Becker2009ElasticityForce
     from .surface_tension import (
         Akinci2013SurfaceTensionForce,
         He2014SurfaceTensionForce,
@@ -565,6 +581,8 @@ def to_dense_force(force) -> Optional[object]:
         XSPHViscosityForce,
     )
 
+    if isinstance(force, Becker2009ElasticityForce):
+        return ParticleWiseForce(force)
     if isinstance(force, DFSPHViscosityForce):
         return DFSPHViscosityDense(
             force.viscosity_coefficients,

@@ -35,7 +35,6 @@ def build_dense_substep(sim: SimConfig, cfg: IISPHConfig, num_fluids: int,
 
     def substep(fluids: FluidsState, boundaries: BoundariesState,
                 pressures, es, dt, gravity):
-        del es
         dt = jnp.asarray(dt, jnp.float32)
         inv_dt = jnp.where(dt > 0, 1.0 / dt, 0.0)
         dt2 = dt * dt
@@ -49,7 +48,7 @@ def build_dense_substep(sim: SimConfig, cfg: IISPHConfig, num_fluids: int,
         A = jnp.asarray(gravity, jnp.float32).reshape(dim, 1, 1) * maskf[None]
         np_Fb = jnp.zeros_like(ctx.Pb)
         if dense_forces:
-            from .forces_dense import DenseFields
+            from .forces_dense import DenseFields, ParticleWiseForce
 
             fields = DenseFields(
                 jff=ctx.jff, jfb=ctx.jfb, jbf=ctx.jbf,
@@ -61,6 +60,10 @@ def build_dense_substep(sim: SimConfig, cfg: IISPHConfig, num_fluids: int,
                 kernel_gradient=sim.kernel_gradient,
             )
             for force in dense_forces:
+                if isinstance(force, ParticleWiseForce):
+                    a_p = force.force.apply_particles(fluids, es, dim)
+                    A = A + ctx.to_f(a_p) * maskf[None]
+                    continue
                 a_d, fb_d = force.apply(fields)
                 A = A + a_d * maskf[None]
                 if fb_d is not None:

@@ -271,6 +271,10 @@ def _forces_cases():
         pytest.param([fz.Akinci2013SurfaceTension(1.0, 1.0)], id="akinci"),
         pytest.param([fz.WCSPHSurfaceTension(1.0, 0.5)], id="wcsph"),
         pytest.param([fz.He2014SurfaceTension(1.0, 0.5)], id="he2014"),
+        # Elasticity runs inside the dense substep via its static rest
+        # topology (forces_dense.ParticleWiseForce).
+        pytest.param([fz.Becker2009Elasticity(50_000.0, 0.3, True)],
+                     id="elasticity"),
     ]
 
 
