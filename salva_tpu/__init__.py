@@ -5,7 +5,10 @@ dimforge/salva (2D & 3D particle-based fluids with DFSPH/IISPH pressure
 solvers, non-pressure forces, boundary handling and two-way rigid-body
 coupling), architected for TPU hardware: fixed-shape SoA state, sort-based
 Morton neighbor lists, `lax.while_loop` solver iterations and
-`shard_map`-based multi-device domain decomposition.
+`shard_map`-based multi-device domain decomposition: the dense grid's
+cell axis is split into per-device slabs with `ppermute` ghost-layer
+(halo) exchange each solver iteration and psum'd convergence errors
+(`parallel/domain.py`).
 """
 
 from .config import DFSPHConfig, IISPHConfig, NeighborConfig, SimConfig, particle_volume

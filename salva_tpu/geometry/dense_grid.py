@@ -191,6 +191,85 @@ def from_grid(spec: DenseGridSpec, binned: Binned, grid_values, default=0.0):
     )
 
 
+class SlabBinned(NamedTuple):
+    """A particle set bound to slots of one device's x-slab (+ ghost
+    layers) of the grid — the multi-device domain-decomposition binning
+    (``parallel/domain.py``).
+
+    The device owning x-layers ``[x0, x0 + nxl)`` bins every particle
+    whose (global, interior-clamped) cell lies in the *extended* slab
+    ``[x0 - 1, x0 + nxl + 1)``; the two extra layers are the ghost/halo
+    layers whose content mirrors the neighboring devices' border cells.
+    Ranks within a cell follow global particle order, so per-cell pair
+    sums are bitwise equal to the single-device :func:`bin_particles`.
+
+    - ``slot_of`` / ``in_grid`` / ``mask``: as in :class:`Binned`, over
+      the local ``C_local = (nxl + 2) * prod(dims[1:])`` cells;
+    - ``in_interior``: [N] bool — binned into a layer this device OWNS
+      (each alive in-grid particle is interior on exactly one device);
+    - ``overflow`` / ``clamped``: counted over interior cells only, so
+      psum over devices equals the global counts.
+    """
+
+    slot_of: jnp.ndarray
+    in_grid: jnp.ndarray
+    in_interior: jnp.ndarray
+    mask: jnp.ndarray
+    overflow: jnp.ndarray
+    clamped: jnp.ndarray
+
+
+def bin_particles_slab(spec: DenseGridSpec, nxl: int, x0, positions, alive
+                       ) -> SlabBinned:
+    """Bin particles into one device's extended x-slab (see
+    :class:`SlabBinned`). ``nxl`` is static; ``x0 = rank * nxl`` may be a
+    traced int32."""
+    n = positions.shape[0]
+    origin = jnp.asarray(spec.origin, positions.dtype)
+    dims = jnp.asarray(spec.dims, jnp.int32)
+    c = jnp.floor((positions - origin) / spec.cell_width).astype(jnp.int32)
+    clamped_mask = jnp.any((c < 1) | (c >= dims - 1), axis=-1)
+    c = jnp.clip(c, 1, dims - 2)
+    rest = c[..., 1]
+    for axis in range(2, spec.dim):
+        rest = rest * spec.dims[axis] + c[..., axis]
+    nyz = int(np.prod(spec.dims[1:]))
+    lx = c[..., 0] - (jnp.asarray(x0, jnp.int32) - 1)
+    in_slab = alive & (lx >= 0) & (lx < nxl + 2)
+    interior = in_slab & (lx >= 1) & (lx < nxl + 1)
+    c_local = (nxl + 2) * nyz
+    cell = jnp.where(in_slab, lx * nyz + rest, jnp.int32(c_local))
+
+    idx = jnp.arange(n, dtype=jnp.int32)
+    order = jnp.argsort(cell, stable=True)
+    sorted_key = cell[order]
+    first = jnp.searchsorted(sorted_key, sorted_key, side="left").astype(
+        jnp.int32
+    )
+    rank = jnp.zeros((n,), jnp.int32).at[order].set(idx - first)
+
+    fits = in_slab & (rank < spec.cap)
+    oob = c_local * spec.cap
+    slot = jnp.where(fits, cell * spec.cap + rank, oob)
+    mask = (
+        jnp.zeros((c_local * spec.cap,), jnp.float32)
+        .at[slot]
+        .set(1.0, mode="drop")
+        .reshape(c_local, spec.cap)
+        .T
+    )
+    overflow = jnp.sum((interior & (rank >= spec.cap)).astype(jnp.int32))
+    clamped = jnp.sum((interior & clamped_mask).astype(jnp.int32))
+    return SlabBinned(
+        slot_of=slot,
+        in_grid=fits,
+        in_interior=interior & (rank < spec.cap),
+        mask=mask,
+        overflow=overflow,
+        clamped=clamped,
+    )
+
+
 class ActiveBinned(NamedTuple):
     """A particle set bound to slots of the *occupied-cells-only* table.
 

@@ -41,14 +41,25 @@ def w_dwr(r2, h, dim, w_fn, dw_fn):
     return w, dwr
 
 
-def per_fluid_mean_max_grid(values, fid, mask, num_fluids: int):
-    """`per_fluid_mean_max` on grid layout (static loop over fluids)."""
+def per_fluid_mean_max_grid(values, fid, mask, num_fluids: int, halo=None,
+                            interior=None):
+    """`per_fluid_mean_max` on grid layout (static loop over fluids).
+
+    With ``halo``/``interior`` set (domain decomposition), each device
+    reduces over its owned (interior) slots and the sums/counts are
+    psum'd so every device computes the reference's *global* mean error
+    (`dfsph_solver.rs:150-160`)."""
     err = jnp.zeros((), jnp.float32)
     live = mask > 0
+    if interior is not None:
+        live = live & interior
     for f in range(num_fluids):
         sel = live & (fid == f)
         s = jnp.sum(jnp.where(sel, values, 0.0))
         cnt = jnp.sum(sel.astype(jnp.float32))
+        if halo is not None:
+            s = halo.psum(s)
+            cnt = halo.psum(cnt)
         err = jnp.maximum(err, jnp.where(cnt > 0, s / jnp.maximum(cnt, 1.0), 0.0))
     return err
 
@@ -85,7 +96,8 @@ class DenseCtx:
     - ``count``: pairs within h (incl. self).
     """
 
-    def __init__(self, sim: SimConfig, spec_f, spec_b, fluids, boundaries):
+    def __init__(self, sim: SimConfig, spec_f, spec_b, fluids, boundaries,
+                 halo=None):
         self._boundaries_volumes = boundaries.volumes
         self.sim = sim
         self.spec_f = spec_f
@@ -96,8 +108,35 @@ class DenseCtx:
         self.kg = get_kernel(sim.kernel_gradient)
         self.offsets = dg.neighbor_offsets(self.dim)
         self.compact = bool(getattr(sim, "dense_compact", True))
+        self.halo = halo
 
-        if self.compact:
+        if halo is not None:
+            # Domain decomposition (parallel/domain.py): this device's
+            # extended x-slab of the grid; flat rolls act on the LOCAL
+            # dims, ghost layers are filled by the slab binning.
+            self.compact = False
+            nxl = halo.nxl
+            spec_f_loc = spec_f.replace(dims=(nxl + 2,) + spec_f.dims[1:])
+            spec_b_loc = spec_b.replace(dims=(nxl + 2,) + spec_b.dims[1:])
+            self.binf = dg.bin_particles_slab(
+                spec_f, nxl, halo.x0, fluids.positions, fluids.alive
+            )
+            self.binb = dg.bin_particles_slab(
+                spec_b, nxl, halo.x0, boundaries.positions, boundaries.alive
+            )
+            self.sf = spec_f_loc
+            self.sb = spec_b_loc
+            offs = self.offsets
+            self.jff = lambda arr, o: dg.shift_j(spec_f_loc, arr, offs[o])
+            self.jfb = self.jff
+            self.jbf = self.jff
+            self.jbb = self.jff
+            # Slot-level ownership mask: columns in owned layers.
+            layer = jnp.arange(spec_f_loc.num_cells, dtype=jnp.int32) // (
+                halo.nyz
+            )
+            self.interior = ((layer >= 1) & (layer < nxl + 1))[None, :]
+        elif self.compact:
             a_f = max(
                 256,
                 min(
@@ -152,6 +191,9 @@ class DenseCtx:
             self.jfb = self.jff
             self.jbf = self.jff
             self.jbb = self.jff
+
+        if halo is None:
+            self.interior = None
 
         self.P = dg.to_grid(
             self.sf, self.binf, fluids.positions, fill=dg.POS_SENTINEL
@@ -209,6 +251,10 @@ class DenseCtx:
             1.0 / jnp.where(wsum > 0, wsum, 1.0),
             0.0,
         )
+        if self.halo is not None:
+            # Ghost boundary cells computed only half their W-sum; the fb
+            # passes read Volb at j, so refresh from the owners.
+            self.Volb = self.halo.exchange(self.Volb)
 
     def _hoist(self):
         kd_w, kd_dw = self.kd
@@ -269,6 +315,9 @@ class DenseCtx:
 
         R0 = self.R0
         self.rho = jnp.where(self.live, rho_ff + R0 * rho_fb, R0)
+        if self.halo is not None:
+            # Single-pass forces (XSPH/artificial viscosity) read rho_j.
+            self.rho = self.halo.exchange(self.rho)
         self.Gf = Gf
         self.Gb = R0[None] * Gb_raw
         self.Gsum = self.Gf + self.Gb
@@ -342,6 +391,8 @@ class DenseCtx:
     def _use_pallas(self) -> bool:
         import jax
 
+        if self.halo is not None:
+            return False
         if self.compact or not getattr(self.sim, "use_pallas", False):
             return False
         try:
@@ -385,12 +436,24 @@ class DenseCtx:
 
     def unbin_f(self, grid, fallback):
         out = dg.from_grid(self.sf, self.binf, grid, 0.0)
+        if self.halo is not None:
+            keep = self.binf.in_interior
+            sel = keep[:, None] if out.ndim == 2 else keep
+            return self.halo.merge_particles(
+                jnp.where(sel, out, 0.0), keep, fallback
+            )
         if out.ndim == 2:
             return jnp.where(self.binf.in_grid[:, None], out, fallback)
         return jnp.where(self.binf.in_grid, out, fallback)
 
     def unbin_b(self, grid, fallback):
         out = dg.from_grid(self.sb, self.binb, grid, 0.0)
+        if self.halo is not None:
+            keep = self.binb.in_interior
+            sel = keep[:, None] if out.ndim == 2 else keep
+            return self.halo.merge_particles(
+                jnp.where(sel, out, 0.0), keep, fallback
+            )
         if out.ndim == 2:
             return jnp.where(self.binb.in_grid[:, None], out, fallback)
         return jnp.where(self.binb.in_grid, out, fallback)

@@ -34,11 +34,17 @@ from .dense_common import DenseCtx, per_fluid_mean_max_grid
 
 def build_dense_substep(sim: SimConfig, cfg: DFSPHConfig, num_fluids: int,
                         spec_f: dg.DenseGridSpec, spec_b: dg.DenseGridSpec,
-                        dense_forces=()):
+                        dense_forces=(), halo_builder=None):
     """Build the dense-layout DFSPH substep.
 
     ``dense_forces``: tuple of dense-layout non-pressure force objects
     (``forces_dense.py``), each ``apply(fields) -> (accel, bforces|None)``.
+
+    ``halo_builder``: optional factory returning a ``parallel.domain.Halo``
+    when tracing inside ``shard_map`` — the substep then runs on this
+    device's grid slab, exchanging per-iteration ghost layers (stiffness
+    ``ki`` before each k_pass, velocity changes after each update) and
+    psum-reducing the convergence errors.
     """
     dim = sim.dim
     min_nb = cfg.min_neighbors(dim)
@@ -49,7 +55,8 @@ def build_dense_substep(sim: SimConfig, cfg: DFSPHConfig, num_fluids: int,
         inv_dt = jnp.where(dt > 0, 1.0 / dt, 0.0)
         boundaries = boundaries.clear_forces()
 
-        ctx = DenseCtx(sim, spec_f, spec_b, fluids, boundaries)
+        halo = halo_builder() if halo_builder is not None else None
+        ctx = DenseCtx(sim, spec_f, spec_b, fluids, boundaries, halo=halo)
         maskf, live, R0 = ctx.maskf, ctx.live, ctx.R0
         DV = ctx.to_f(velocity_changes)
 
@@ -67,14 +74,24 @@ def build_dense_substep(sim: SimConfig, cfg: DFSPHConfig, num_fluids: int,
             delta = ctx.delta_density(ctx.V + dv)
             enough = ctx.count >= min_nb
             div = jnp.where(enough & live, jnp.maximum(delta, 0.0), 0.0)
-            err = per_fluid_mean_max_grid(div / R0, ctx.FID, maskf, num_fluids)
+            err = per_fluid_mean_max_grid(
+                div / R0, ctx.FID, maskf, num_fluids,
+                halo=halo, interior=ctx.interior,
+            )
             converged = (err <= max_div_err) & (i >= cfg.min_divergence_iter)
 
             def update(args):
                 dv, ksum = args
                 ki = div * alpha
+                if halo is not None:
+                    # ki is only valid on owned cells (delta at a ghost
+                    # cell sees half its neighborhood); k_pass reads
+                    # neighbor ki, so refresh the ghost layers first.
+                    ki = halo.exchange(ki)
                 kf = ctx.k_pass(ki)
                 dv = dv - (ki[None] * ctx.Gsum + kf)
+                if halo is not None:
+                    dv = halo.exchange(dv)
                 return dv, ksum + ki
 
             dv, ksum = jax.lax.cond(converged, lambda a: a, update, (dv, ksum))
@@ -122,21 +139,31 @@ def build_dense_substep(sim: SimConfig, cfg: DFSPHConfig, num_fluids: int,
                 if fb_d is not None:
                     np_Fb = np_Fb + fb_d
         DV = DV + A * dt
+        if halo is not None:
+            # Single-roll force passes are valid on owned cells only.
+            DV = halo.exchange(DV)
 
         # --- pressure solve (`dfsph_solver.rs:432-464`)
         def p_body(carry):
             i, dv, ksum, _, _ = carry
             predicted = ctx.rho + ctx.delta_density(V2 + dv) * dt
             err_i = jnp.where(predicted < R0, 0.0, predicted / R0 - 1.0)
-            err = per_fluid_mean_max_grid(err_i, ctx.FID, maskf, num_fluids)
+            err = per_fluid_mean_max_grid(
+                err_i, ctx.FID, maskf, num_fluids,
+                halo=halo, interior=ctx.interior,
+            )
             converged = (err <= cfg.max_density_error) & (i >= cfg.min_pressure_iter)
 
             def update(args):
                 dv, ksum = args
                 ki = (predicted - R0) * alpha
                 ki_p = jnp.maximum(ki, 0.0)
+                if halo is not None:
+                    ki_p = halo.exchange(ki_p)
                 kf = ctx.k_pass(ki_p)
                 dv = dv - (ki_p[None] * ctx.Gsum + kf) * inv_dt
+                if halo is not None:
+                    dv = halo.exchange(dv)
                 return dv, ksum + ki_p
 
             dv, ksum = jax.lax.cond(converged, lambda a: a, update, (dv, ksum))
@@ -173,6 +200,19 @@ def build_dense_substep(sim: SimConfig, cfg: DFSPHConfig, num_fluids: int,
 
         from ..step import StepDiagnostics  # local import avoids a cycle
 
+        own = live if halo is None else live & ctx.interior
+        ncontacts_ff = jnp.sum(jnp.where(own, ctx.cnt_ff, 0))
+        ncontacts_fb = jnp.sum(jnp.where(own, ctx.cnt_fb, 0))
+        neighbor_overflow = ctx.bin_overflow
+        candidate_overflow = ctx.binf.clamped + ctx.binb.clamped
+        max_rho = jnp.max(jnp.where(own, ctx.rho / R0, 0.0), initial=0.0)
+        if halo is not None:
+            ncontacts_ff = halo.psum(ncontacts_ff)
+            ncontacts_fb = halo.psum(ncontacts_fb)
+            neighbor_overflow = halo.psum(neighbor_overflow)
+            candidate_overflow = halo.psum(candidate_overflow)
+            max_rho = halo.pmax(max_rho)
+
         diag = StepDiagnostics(
             solver=SolverDiagnostics(
                 pressure_iters=p_iters,
@@ -180,13 +220,11 @@ def build_dense_substep(sim: SimConfig, cfg: DFSPHConfig, num_fluids: int,
                 divergence_iters=div_iters,
                 divergence_error=div_err,
             ),
-            ncontacts_ff=jnp.sum(jnp.where(live, ctx.cnt_ff, 0)),
-            ncontacts_fb=jnp.sum(jnp.where(live, ctx.cnt_fb, 0)),
-            neighbor_overflow=ctx.bin_overflow,
-            candidate_overflow=ctx.binf.clamped + ctx.binb.clamped,
-            max_density_ratio=jnp.max(
-                jnp.where(live, ctx.rho / R0, 0.0), initial=0.0
-            ),
+            ncontacts_ff=ncontacts_ff,
+            ncontacts_fb=ncontacts_fb,
+            neighbor_overflow=neighbor_overflow,
+            candidate_overflow=candidate_overflow,
+            max_density_ratio=max_rho,
         )
         return fluids, boundaries, new_dv, diag
 

@@ -1,0 +1,92 @@
+"""Domain decomposition (shard_map + ppermute halo exchange) equivalence:
+the cell-axis-sharded dense step must match the single-device dense step
+on the virtual 8-device CPU mesh (SURVEY.md §2.3 / §5.8)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from salva_tpu import forces, shapes
+from salva_tpu.config import DFSPHConfig, NeighborConfig
+from salva_tpu.parallel import make_mesh
+from salva_tpu.parallel.domain import get_jitted_sharded_step_fn
+from salva_tpu.sampling import shape_surface_sample
+from salva_tpu.scenes import cube_fluid
+from salva_tpu.step import get_jitted_step_fn
+from salva_tpu.world import Boundary, Fluid, LiquidWorld
+
+RADIUS = 0.05
+
+
+def _world_3d(np_forces=()):
+    world = LiquidWorld(
+        solver=DFSPHConfig(), particle_radius=RADIUS, dim=3,
+        neighbors=NeighborConfig(max_neighbors=48, max_candidates=192,
+                                 query_chunk=16384),
+        domain=((-1.2, -0.5, -1.2), (1.2, 1.6, 1.2)),
+        layout="dense",
+    )
+    pos = cube_fluid((6, 6, 6), RADIUS)
+    pos[:, 1] += 0.45
+    fl = world.add_fluid(
+        Fluid(pos, density0=1000.0, nonpressure_forces=list(np_forces))
+    )
+    box = shapes.Cuboid((1.0, 0.1, 1.0))
+    world.add_boundary(Boundary(shape_surface_sample(box, RADIUS, 3)))
+    world._prepare()
+    return world, fl
+
+
+def _run(world, step_fn, n_steps):
+    fl, bd, ss = world.fluids_state, world.boundaries_state, world._solver_state
+    dt = jnp.float32(1.0 / 200.0)
+    g = jnp.asarray([0.0, -9.81, 0.0], jnp.float32)
+    diag = None
+    for _ in range(n_steps):
+        fl, bd, ss, diag = step_fn(fl, bd, ss, None, dt, g)
+    return fl, bd, diag
+
+
+@pytest.mark.parametrize(
+    "np_forces",
+    [
+        pytest.param((), id="pressure-only"),
+        pytest.param((forces.XSPHViscosity(0.5, 0.5),), id="xsph"),
+    ],
+)
+def test_sharded_matches_single_device(np_forces):
+    world, fl_h = _world_3d(np_forces)
+    mesh = make_mesh(8, axis_name="x")
+    sharded = get_jitted_sharded_step_fn(
+        world.sim, world.solver_config, world._force_set, 1, mesh
+    )
+    single = get_jitted_step_fn(
+        world.sim, world.solver_config, world._force_set, 1
+    )
+
+    fs, bs, ds = _run(world, sharded, 5)
+    f1, b1, d1 = _run(world, single, 5)
+
+    np.testing.assert_allclose(
+        np.asarray(fs.positions), np.asarray(f1.positions), atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(fs.velocities), np.asarray(f1.velocities), atol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(bs.forces), np.asarray(b1.forces), atol=5e-3
+    )
+    # Identical psum'd termination: same iteration counts, same contacts.
+    assert int(ds.solver.pressure_iters) == int(d1.solver.pressure_iters)
+    assert int(ds.solver.divergence_iters) == int(d1.solver.divergence_iters)
+    assert int(ds.ncontacts_ff) == int(d1.ncontacts_ff)
+    assert int(ds.neighbor_overflow) == int(d1.neighbor_overflow) == 0
+
+
+def test_sharded_rejects_unsupported_force():
+    world, _ = _world_3d((forces.Akinci2013SurfaceTension(1.0, 0.0),))
+    mesh = make_mesh(8, axis_name="x")
+    with pytest.raises(ValueError, match="halo"):
+        get_jitted_sharded_step_fn(
+            world.sim, world.solver_config, world._force_set, 1, mesh
+        )
