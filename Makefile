@@ -3,14 +3,23 @@
 
 PY ?= python
 
-.PHONY: test test-fast scenes bench entry-check clean
+.PHONY: test test-fast native scenes bench entry-check clean
 
 test:
 	$(PY) -m pytest tests/ -x -q
 
+# Curated fast tier (<5 min; the per-push CI gate, .github/workflows/ci.yml):
+# kernels, neighbor search vs brute force, one dense/gather equivalence,
+# one scene smoke, native sampler, renderer.
 test-fast:
 	$(PY) -m pytest tests/test_kernels.py tests/test_neighbors.py \
-		tests/test_native.py tests/test_viz.py -q
+		tests/test_native.py tests/test_viz.py \
+		tests/test_dense.py::test_dense_matches_gather \
+		"tests/test_scenes.py::test_scene_smoke[custom_forces2]" -q
+
+# Build the C++ triangle-mesh sampler (optional; tests skip when absent).
+native:
+	$(PY) -c "from salva_tpu import native; assert native._build()"
 
 scenes:
 	$(PY) examples/run_scene.py --list

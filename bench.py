@@ -64,6 +64,11 @@ def main():
         dense_cap=dense_cap,
         dense_cap_boundary=16,
     )
+    if os.environ.get("BENCH_FROZEN"):
+        world.sim = world.sim.replace(
+            dense_frozen_pairs=True,
+            dense_pair_dtype=os.environ.get("BENCH_PAIR_DTYPE", "float32"),
+        )
     pos = cube_fluid((n_side, n_side, n_side), radius)
     # Dam break with impact inside the measured window: the block starts
     # one radius above the floor moving down at 2 m/s, so the timed steps

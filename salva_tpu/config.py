@@ -128,6 +128,18 @@ class SimConfig:
     dense_compact: bool = False
     dense_active_ratio: float = 0.25
     dense_active_ratio_boundary: float = 0.5
+    # Freeze the per-pair coefficient s_ij = (dW/dr / r) * m_j into a
+    # materialized [3^dim][cap, cap, C] tensor once per substep (it is
+    # iteration-invariant: contact gradients are frozen during a substep,
+    # `helper.rs:9-44`), so every solver-iteration pair pass becomes a
+    # multiply-reduce over the stored coefficients instead of recomputing
+    # dpos + the kernel polynomial per pair. Costs one extra pass + the
+    # tensor's HBM (27 * cap^2 * C * itemsize); wins when iterations
+    # dominate. ``dense_pair_dtype`` selects the storage precision
+    # ("float32" exact, "bfloat16" halves HBM/traffic at ~0.4% relative
+    # coefficient rounding — well inside the solver's 5% tolerance).
+    dense_frozen_pairs: bool = False
+    dense_pair_dtype: str = "float32"
     # Recompute boundary volumes (V_b = 1/sum W_bb) this step. The world
     # flips this to False for steps where no boundary changed (static
     # boundaries, no coupling): volumes are then read from the state,

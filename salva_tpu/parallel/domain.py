@@ -30,9 +30,7 @@ binning with position resharding is the next scaling step.
 
 from __future__ import annotations
 
-import dataclasses
 import functools
-from typing import Optional
 
 import jax
 import jax.numpy as jnp

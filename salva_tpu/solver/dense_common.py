@@ -212,6 +212,9 @@ class DenseCtx:
 
         self._compute_boundary_volumes()
         self._hoist()
+        self.frozen = bool(getattr(sim, "dense_frozen_pairs", False))
+        if self.frozen:
+            self._freeze_pairs()
 
     @property
     def bin_overflow(self):
@@ -331,6 +334,33 @@ class DenseCtx:
 
     # -- per-iteration passes -----------------------------------------------
 
+    def _freeze_pairs(self):
+        """Materialize the iteration-invariant pair coefficient
+        ``s_ij = (dW/dr / r) * m_j`` per neighbor view (``[cap, cap, C]``
+        each). Contact gradients are frozen during a substep
+        (`helper.rs:9-44`), so every per-iteration pair sum is linear in
+        per-slot vectors through these coefficients — the solver loops
+        then never re-evaluate the kernel polynomial."""
+        kg_w, kg_dw = self.kg
+        dtype = jnp.dtype(getattr(self.sim, "dense_pair_dtype", "float32"))
+        S = []
+        for dpos, dwr, o in self._hot_blocks():
+            mj = self.jff(self.M, o)
+            S.append((dwr * mj[None, :, :]).astype(dtype))
+        self.S = S
+
+    def sp_multi(self, X):
+        """[m, cap, C] channels -> [m, cap, C]: X_out[m, i] =
+        sum_j s_ij X[m, j] over the frozen coefficients (f32 accumulate)."""
+        acc = jnp.zeros((X.shape[0],) + tuple(self.maskf.shape), jnp.float32)
+        for o, S_o in enumerate(self.S):
+            xj = self.jff(X, o)
+            prod = S_o[None].astype(jnp.float32) * xj[:, None].astype(
+                jnp.float32
+            )
+            acc = acc + jnp.sum(prod, axis=2)
+        return acc
+
     def _hot_blocks(self):
         """(dpos, dwr, o) per neighbor view — mask-free (see the far
         position sentinel note in ``dense_grid``)."""
@@ -349,6 +379,15 @@ class DenseCtx:
 
     def t_pass(self, Q):
         """T_i = sum_ff m_j (Q_j . grad_ij) for a per-slot vector Q."""
+        dim = self.dim
+        if self.frozen:
+            # grad_ij = s_ij (p_i - p_j):
+            # T_i = sum_d p_i,d SP(Q_d)_i - SP(sum_d Q_d p_d)_i.
+            ch = jnp.concatenate(
+                [Q, jnp.sum(Q * self.P, axis=0, keepdims=True)], axis=0
+            )
+            out = self.sp_multi(ch)
+            return jnp.sum(self.P * out[:dim], axis=0) - out[dim]
         if self._use_pallas():
             from ..ops import t_pass_pallas
 
@@ -356,7 +395,6 @@ class DenseCtx:
                 self.spec_f, self.h, self.dim, self.sim.kernel_gradient,
                 self.P, self.M, Q,
             )
-        dim = self.dim
         acc = jnp.zeros_like(self.maskf)
         for dpos, dwr, o in self._hot_blocks():
             mj = self.jff(self.M, o)
@@ -369,6 +407,12 @@ class DenseCtx:
 
     def k_pass(self, K):
         """K_i = sum_ff k_j m_j grad_ij for a per-slot scalar k."""
+        dim = self.dim
+        if self.frozen:
+            # K_i,d = p_i,d SP(K)_i - SP(K p_d)_i.
+            ch = jnp.concatenate([K[None], K[None] * self.P], axis=0)
+            out = self.sp_multi(ch)
+            return self.P * out[0][None] - out[1:]
         if self._use_pallas():
             from ..ops import k_pass_pallas
 
@@ -376,17 +420,14 @@ class DenseCtx:
                 self.spec_f, self.h, self.dim, self.sim.kernel_gradient,
                 self.P, self.M, K,
             )
-        dim = self.dim
-        acc = jnp.zeros_like(self.P)
+        acc = [jnp.zeros_like(self.maskf) for _ in range(dim)]
         for dpos, dwr, o in self._hot_blocks():
             mj = self.jff(self.M, o)
             kj = self.jff(K, o)
             coeff = kj[None, :, :] * mj[None, :, :] * dwr
-            acc = jnp.stack(
-                [acc[d] + jnp.sum(dpos[d] * coeff, axis=1)
-                 for d in range(dim)]
-            )
-        return acc
+            for d in range(dim):
+                acc[d] = acc[d] + jnp.sum(dpos[d] * coeff, axis=1)
+        return jnp.stack(acc)
 
     def _use_pallas(self) -> bool:
         import jax

@@ -314,3 +314,41 @@ def test_dense_with_artificial_viscosity():
     p = world.fluid_positions(fl)
     assert np.isfinite(p).all()
     assert p[:, 1].min() > -0.2
+
+
+def _frozen_world(frozen, dtype="float32"):
+    world = LiquidWorld(
+        solver=DFSPHConfig(), particle_radius=RADIUS, dim=2,
+        neighbors=NeighborConfig(max_neighbors=64, max_candidates=160,
+                                 query_chunk=4096),
+        domain=DOMAIN_2D, layout="dense",
+    )
+    world.sim = world.sim.replace(
+        dense_frozen_pairs=frozen, dense_pair_dtype=dtype
+    )
+    pos = cube_positions(8, RADIUS, 2, origin=(-0.9, 0.02))
+    fl = world.add_fluid(Fluid(pos, density0=1000.0))
+    xs = np.arange(-1.2, 1.2, 2 * RADIUS, dtype=np.float32)
+    floor = np.stack([xs, np.full_like(xs, -2 * RADIUS)], axis=-1)
+    bd = world.add_boundary(Boundary(floor))
+    return world, fl, bd
+
+
+def test_frozen_pairs_matches_recompute():
+    """The frozen pair-coefficient iteration path (s_ij = dwr * m_j
+    materialized once per substep) is mathematically identical to the
+    recompute path; f32 storage must agree to rounding, bf16 storage to
+    its ~0.4% coefficient rounding."""
+    wr, flr, _ = _frozen_world(False)
+    wf, flf, _ = _frozen_world(True, "float32")
+    wb, flb, _ = _frozen_world(True, "bfloat16")
+    for _ in range(15):
+        for w in (wr, wf, wb):
+            w.step(1.0 / 200.0, (0.0, -9.81))
+    pr = wr.fluid_positions(flr)
+    pf = wf.fluid_positions(flf)
+    pb = wb.fluid_positions(flb)
+    np.testing.assert_allclose(pr, pf, atol=2e-5)
+    np.testing.assert_allclose(pr, pb, atol=5e-3)
+    dr, df = wr.last_diagnostics, wf.last_diagnostics
+    assert int(dr.solver.pressure_iters) == int(df.solver.pressure_iters)
