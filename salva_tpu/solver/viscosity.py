@@ -217,10 +217,15 @@ class DFSPHViscosityForce:
 
     Fluid-internal only: no boundary term (`dfsph_viscosity.rs:82-86`).
 
-    Stability note: the reference's iteration is unstable on free blobs
-    (its own commented debug print reports "unstable", and no reference
-    example exercises the force) — this is a faithful port including that
-    behavior. Keep ``max_viscosity_iter`` small (1-2) for robust use.
+    Stability note: the reference's iteration diverges at its own gain —
+    measured ~20x error growth PER ITERATION even on an interior lattice
+    (see ``test_dfsph_viscosity_operator_descends_and_upstream_gain_
+    diverges``: the assembled operator is a valid descent direction at
+    ~0.02x gain, so the divergence is upstream behavior, not a porting
+    bug; the reference's own commented debug print reports "unstable",
+    `dfsph_viscosity.rs:308-313`, and no reference example exercises the
+    force). This is a faithful port including that behavior. Keep
+    ``max_viscosity_iter`` small (1-2) for robust use.
     """
 
     viscosity_coefficients: Tuple[float, ...]

