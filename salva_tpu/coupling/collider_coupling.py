@@ -129,8 +129,17 @@ class ColliderCouplingSet:
     def _dynamic_update(self, world, entry, collider, body, R, t, dt: float):
         fl = world.fluids_state
         predicted = fl.positions + fl.velocities * dt
+        shape = collider.shape
+        if isinstance(shape, shp.TriMesh):
+            # Triangle meshes have no analytic SDF; project against a
+            # cached voxelized signed-distance field instead (the role
+            # parry's per-shape point projection plays in the reference,
+            # `fluids_pipeline.rs:213-217`).
+            from ..sampling.voxelize import trimesh_sdf
+
+            shape = trimesh_sdf(shape)
         _, d, n = shp.project_point(
-            collider.shape, predicted, jnp.asarray(R), jnp.asarray(t)
+            shape, predicted, jnp.asarray(R), jnp.asarray(t)
         )
         margin = world.particle_radius * 0.1
         new_pos, new_vel, emit, proj = _dynamic_sample_kernel(

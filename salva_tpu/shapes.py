@@ -138,8 +138,10 @@ class TriMesh:
 
     Sampled through the native ray-cast sampler (``salva_tpu.native``),
     covering the reference's parry TriMesh support in
-    ``shape_surface_ray_sample`` (`ray_sampling.rs`). No on-device SDF, so
-    it supports StaticSampling coupling but not DynamicContactSampling.
+    ``shape_surface_ray_sample`` (`ray_sampling.rs`). On-device SDF
+    queries (DynamicContactSampling coupling, shape intersection tests)
+    go through a cached voxelized signed-distance field
+    (``sampling.voxelize.trimesh_sdf`` -> :class:`VoxelSdf`).
     ``vertices``/``indices`` are stored as nested tuples to stay hashable.
     """
 
@@ -158,7 +160,52 @@ class TriMesh:
         )
 
 
-SHAPES = (Ball, Cuboid, Capsule, HalfSpace, Heightfield, TriMesh)
+@dataclasses.dataclass(frozen=True)
+class VoxelSdf:
+    """Discretized signed-distance field on a regular grid (trilinear).
+
+    The on-device stand-in for shapes with no analytic SDF — most
+    importantly triangle meshes (``sampling.voxelize.trimesh_sdf``),
+    giving TriMesh colliders the same DynamicContactSampling support the
+    reference gets from parry's per-shape point projection
+    (`fluids_pipeline.rs:192-255`). Outside the grid box the clamped
+    border value plus the distance to the box is returned, so projection
+    directions stay sane far away.
+    """
+
+    values: Tuple[float, ...]  # flattened row-major [nx * ny * nz]
+    origin: Tuple[float, float, float]
+    spacing: float
+    shape: Tuple[int, int, int]
+
+    def sdf(self, p):
+        vals = jnp.asarray(self.values, jnp.float32).reshape(self.shape)
+        n = jnp.asarray(self.shape, jnp.int32)
+        f = (p - jnp.asarray(self.origin, jnp.float32)) / self.spacing
+        fc = jnp.clip(f, 0.0, jnp.asarray(self.shape, jnp.float32) - 1.0)
+        i0 = jnp.clip(jnp.floor(fc).astype(jnp.int32), 0, n - 2)
+        t = jnp.clip(fc - i0, 0.0, 1.0)
+        ix, iy, iz = i0[..., 0], i0[..., 1], i0[..., 2]
+        tx, ty, tz = t[..., 0], t[..., 1], t[..., 2]
+
+        def v(dx, dy, dz):
+            return vals[ix + dx, iy + dy, iz + dz]
+
+        c00 = v(0, 0, 0) * (1 - tx) + v(1, 0, 0) * tx
+        c10 = v(0, 1, 0) * (1 - tx) + v(1, 1, 0) * tx
+        c01 = v(0, 0, 1) * (1 - tx) + v(1, 0, 1) * tx
+        c11 = v(0, 1, 1) * (1 - tx) + v(1, 1, 1) * tx
+        c0 = c00 * (1 - ty) + c10 * ty
+        c1 = c01 * (1 - ty) + c11 * ty
+        inner = c0 * (1 - tz) + c1 * tz
+        # Outside the grid: add the distance to the grid box (the small
+        # epsilon keeps the autodiff normal finite where f == fc).
+        d2 = jnp.sum((f - fc) ** 2, axis=-1)
+        outside = jnp.sqrt(d2 + 1.0e-12) * self.spacing
+        return inner + outside
+
+
+SHAPES = (Ball, Cuboid, Capsule, HalfSpace, Heightfield, TriMesh, VoxelSdf)
 
 
 def sdf_normal(shape, p):

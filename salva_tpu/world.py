@@ -949,7 +949,12 @@ class LiquidWorld:
 
     def particles_intersecting_shape(self, shape, rotation, translation):
         """Particle ids near a posed SDF shape (`liquid_world.rs:248-280`)."""
-        from .shapes import world_sdf
+        from .shapes import TriMesh, world_sdf
+
+        if isinstance(shape, TriMesh):
+            from .sampling.voxelize import trimesh_sdf
+
+            shape = trimesh_sdf(shape)
 
         rotation = jnp.asarray(rotation, jnp.float32)
         translation = jnp.asarray(translation, jnp.float32)

@@ -1,0 +1,168 @@
+"""Benchmark table over the BASELINE.md config list.
+
+Runs each named benchmark configuration (the scene set BASELINE.json
+names: basic2, layers2, basic3, faucet3, surface_tension3, elasticity3,
+heightfield3, plus the harness dam break at 27k/97k/1M) and emits one
+markdown table + one JSON line per row to ``BENCH_TABLE.jsonl`` — the
+fidelity half (density error, iteration counts, `dfsph_solver.rs:54-70`)
+next to the throughput half, so regressions are visible round-over-round.
+
+Usage: python tools/bench_table.py [--quick] [--out FILE]
+  --quick: fewer steps + skip the 1M row (CI-sized smoke).
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                 ".jax_cache"),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+
+def _fence(world):
+    return float(jnp.sum(world.fluids_state.positions))
+
+
+def run_scene_row(name, warmup, steps):
+    from salva_tpu import scenes
+
+    scene = scenes.SCENES[name]()
+    world = scene.world
+    scenes.run(scene, warmup)
+    _fence(world)
+    t0 = time.perf_counter()
+    scenes.run(scene, steps)
+    _fence(world)
+    elapsed = time.perf_counter() - t0
+    n = int(np.asarray(world.fluids_state.alive).sum())
+    d = world.last_diagnostics
+    return {
+        "config": name,
+        "n_particles": n,
+        "ms_per_step": elapsed / steps * 1e3,
+        "particle_steps_per_sec": n * steps / elapsed,
+        "density_error": float(d.solver.pressure_error),
+        "pressure_iters": int(d.solver.pressure_iters),
+        "divergence_iters": int(d.solver.divergence_iters),
+        "neighbor_overflow": int(d.neighbor_overflow),
+    }
+
+
+def run_dam_row(n_target, warmup, steps):
+    """The harness_basic3-at-scale config (bench.py geometry)."""
+    from salva_tpu import shapes
+    from salva_tpu.config import DFSPHConfig, NeighborConfig
+    from salva_tpu.sampling import shape_surface_sample
+    from salva_tpu.scenes import cube_fluid
+    from salva_tpu.world import Boundary, Fluid, LiquidWorld
+
+    n_side = max(2, round(n_target ** (1.0 / 3.0)))
+    radius = 0.05
+    half = n_side * radius
+    wall = max(1.5 * half, half + 0.5)
+    domain = ((-wall - 0.3, -0.4, -wall - 0.3),
+              (wall + 0.3, 2.0 * half + 1.0, wall + 0.3))
+    world = LiquidWorld(
+        solver=DFSPHConfig(), particle_radius=radius, dim=3,
+        neighbors=NeighborConfig(max_neighbors=64, max_candidates=224,
+                                 query_chunk=65536),
+        domain=domain, layout="dense", dense_cap=12, dense_cap_boundary=16,
+    )
+    pos = cube_fluid((n_side,) * 3, radius)
+    pos[:, 1] += half + radius
+    vel = np.zeros_like(pos)
+    vel[:, 1] = -2.0
+    world.add_fluid(Fluid(pos, density0=1000.0, velocities=vel))
+    box = shapes.Cuboid((wall, 0.1, wall))
+    samples = shape_surface_sample(box, radius, 3)
+    samples[:, 1] -= 0.1
+    world.add_boundary(Boundary(samples))
+
+    dt, g = 1.0 / 200.0, (0.0, -9.81, 0.0)
+    for _ in range(warmup):
+        world.step(dt, g)
+    _fence(world)
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        world.step(dt, g)
+    _fence(world)
+    elapsed = time.perf_counter() - t0
+    n = int(np.asarray(world.fluids_state.alive).sum())
+    d = world.last_diagnostics
+    return {
+        "config": f"dam_break_{n}",
+        "n_particles": n,
+        "ms_per_step": elapsed / steps * 1e3,
+        "particle_steps_per_sec": n * steps / elapsed,
+        "density_error": float(d.solver.pressure_error),
+        "pressure_iters": int(d.solver.pressure_iters),
+        "divergence_iters": int(d.solver.divergence_iters),
+        "neighbor_overflow": int(d.neighbor_overflow),
+    }
+
+
+SCENE_CONFIGS = [
+    "basic2", "layers2", "basic3", "faucet3",
+    "surface_tension3", "elasticity3", "heightfield3",
+]
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--quick", action="store_true")
+    ap.add_argument("--out", default=os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "BENCH_TABLE.jsonl"))
+    args = ap.parse_args()
+
+    warmup, steps = (3, 5) if args.quick else (10, 30)
+    rows = []
+    for name in SCENE_CONFIGS:
+        try:
+            rows.append(run_scene_row(name, warmup, steps))
+        except Exception as e:  # noqa: BLE001
+            rows.append({"config": name, "error": str(e)[:200]})
+        print(f"... {name} done", file=sys.stderr, flush=True)
+    dam_sizes = [27_000, 97_000] if args.quick else [27_000, 97_000, 1_000_000]
+    for n in dam_sizes:
+        try:
+            rows.append(run_dam_row(n, warmup, steps))
+        except Exception as e:  # noqa: BLE001
+            rows.append({"config": f"dam_break_{n}", "error": str(e)[:200]})
+        print(f"... dam {n} done", file=sys.stderr, flush=True)
+
+    hdr = ("| config | N | ms/step | particle-steps/s | density err "
+           "| p_iters | d_iters | overflow |")
+    print(hdr)
+    print("|" + "---|" * 8)
+    with open(args.out, "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+            if "error" in r:
+                print(f"| {r['config']} | ERROR: {r['error'][:60]} |" +
+                      " |" * 6)
+            else:
+                print(
+                    f"| {r['config']} | {r['n_particles']} "
+                    f"| {r['ms_per_step']:.1f} "
+                    f"| {r['particle_steps_per_sec']:.3g} "
+                    f"| {r['density_error']:.4f} | {r['pressure_iters']} "
+                    f"| {r['divergence_iters']} | {r['neighbor_overflow']} |"
+                )
+    print(f"(written to {args.out})", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()
