@@ -140,6 +140,18 @@ class SimConfig:
     # coefficient rounding — well inside the solver's 5% tolerance).
     dense_frozen_pairs: bool = False
     dense_pair_dtype: str = "float32"
+    # Boundary particles usually occupy a tiny fraction of the domain's
+    # cells (walls/floors), so the boundary-OWNER pair passes (the bb
+    # volume pass — every step in coupled scenes — and the boundary-force
+    # pass) run over a compact table of *occupied boundary cells only*
+    # (plus a void column): their work scales with the boundary's
+    # occupancy, not the domain volume. Fluid-owner passes (the fb hoist,
+    # force passes) keep full-grid rolls over boundary arrays
+    # rematerialized once per substep — a fully-flipped sparse fb hoist
+    # was measured SLOWER (+17 ms/step at 97k: per-offset column gathers
+    # + 7-channel scatters cost more than the vacuum they skip).
+    # Disabled automatically under the halo (multi-device) path.
+    dense_sparse_boundary: bool = True
     # Recompute boundary volumes (V_b = 1/sum W_bb) this step. The world
     # flips this to False for steps where no boundary changed (static
     # boundaries, no coupling): volumes are then read from the state,

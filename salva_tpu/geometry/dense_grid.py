@@ -32,6 +32,7 @@ from __future__ import annotations
 import dataclasses
 from typing import NamedTuple, Tuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -126,18 +127,29 @@ def cell_of(spec: DenseGridSpec, positions):
     return flat, clamped_mask
 
 
+def _sorted_ranks(key):
+    """(order, rank_sorted): stable sort order of ``key`` plus each
+    element's rank within its run of equal keys.
+
+    One ``lax.sort`` of (key, iota) + a run-boundary cummax — measured
+    ~4x cheaper than the searchsorted(sk, sk) formulation on TPU.
+    """
+    n = key.shape[0]
+    iota = jnp.arange(n, dtype=jnp.int32)
+    sk, order = jax.lax.sort((key, iota), num_keys=1, is_stable=True)
+    is_first = jnp.concatenate(
+        [jnp.ones((1,), bool), sk[1:] != sk[:-1]]
+    )
+    first = jax.lax.cummax(jnp.where(is_first, iota, 0))
+    return order, iota - first, sk, is_first
+
+
 def bin_particles(spec: DenseGridSpec, positions, alive) -> Binned:
     """Assign each alive particle a (cell, rank) slot (deterministic)."""
     n = positions.shape[0]
     cell, clamped_mask = cell_of(spec, positions)
     key = jnp.where(alive, cell, jnp.int32(spec.num_cells))
-    order = jnp.argsort(key, stable=True)
-    sorted_key = key[order]
-    idx = jnp.arange(n, dtype=jnp.int32)
-    first = jnp.searchsorted(sorted_key, sorted_key, side="left").astype(
-        jnp.int32
-    )
-    rank_sorted = idx - first
+    order, rank_sorted, _, _ = _sorted_ranks(key)
     rank = jnp.zeros((n,), jnp.int32).at[order].set(rank_sorted)
 
     fits = alive & (rank < spec.cap)
@@ -240,13 +252,8 @@ def bin_particles_slab(spec: DenseGridSpec, nxl: int, x0, positions, alive
     c_local = (nxl + 2) * nyz
     cell = jnp.where(in_slab, lx * nyz + rest, jnp.int32(c_local))
 
-    idx = jnp.arange(n, dtype=jnp.int32)
-    order = jnp.argsort(cell, stable=True)
-    sorted_key = cell[order]
-    first = jnp.searchsorted(sorted_key, sorted_key, side="left").astype(
-        jnp.int32
-    )
-    rank = jnp.zeros((n,), jnp.int32).at[order].set(idx - first)
+    order, rank_sorted, _, _ = _sorted_ranks(cell)
+    rank = jnp.zeros((n,), jnp.int32).at[order].set(rank_sorted)
 
     fits = in_slab & (rank < spec.cap)
     oob = c_local * spec.cap
@@ -315,12 +322,8 @@ def bin_particles_active(spec: DenseGridSpec, max_active: int, positions,
     A = max_active
     cell, clamped_mask = cell_of(spec, positions)
     key = jnp.where(alive, cell, jnp.int32(C))
-    order = jnp.argsort(key, stable=True)
-    sk = key[order]
-    idx = jnp.arange(n, dtype=jnp.int32)
-    first = jnp.searchsorted(sk, sk, side="left").astype(jnp.int32)
-    rank_sorted = idx - first
-    is_first = (idx == first) & (sk < C)
+    order, rank_sorted, sk, is_first = _sorted_ranks(key)
+    is_first = is_first & (sk < C)
     act_sorted = jnp.cumsum(is_first.astype(jnp.int32)) - 1  # active index
 
     # Active-cell table [A+1], void/unused = C.

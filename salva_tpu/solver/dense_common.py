@@ -97,7 +97,10 @@ class DenseCtx:
     """
 
     def __init__(self, sim: SimConfig, spec_f, spec_b, fluids, boundaries,
-                 halo=None):
+                 halo=None, need_s2: bool = True):
+        # ``need_s2``: accumulate the IISPH-only sums (s2_ff / s2_m);
+        # dense DFSPH passes False to trim two reductions from the hoist.
+        self.need_s2 = need_s2
         self._boundaries_volumes = boundaries.volumes
         self.sim = sim
         self.spec_f = spec_f
@@ -110,6 +113,7 @@ class DenseCtx:
         self.compact = bool(getattr(sim, "dense_compact", True))
         self.halo = halo
 
+        self.sparse_b = False
         if halo is not None:
             # Domain decomposition (parallel/domain.py): this device's
             # extended x-slab of the grid; flat rolls act on the LOCAL
@@ -181,16 +185,72 @@ class DenseCtx:
             self.jbb = lambda arr, o: arr[..., nbb[:, o]]
         else:
             self.binf = dg.bin_particles(spec_f, fluids.positions, fluids.alive)
-            self.binb = dg.bin_particles(
-                spec_b, boundaries.positions, boundaries.alive
-            )
             self.sf = spec_f
-            self.sb = spec_b
             offs = self.offsets
             self.jff = lambda arr, o: dg.shift_j(spec_f, arr, offs[o])
-            self.jfb = self.jff
-            self.jbf = self.jff
-            self.jbb = self.jff
+            self.sparse_b = bool(getattr(sim, "dense_sparse_boundary", True))
+            if self.sparse_b:
+                # Boundary side compact (walls/floors occupy few cells):
+                # boundary-owner passes run over A_b occupied columns; the
+                # fb hoist flips to boundary-owner blocks and scatters the
+                # per-fluid sums back into the full grid (see
+                # ``_hoist_fb_sparse``).
+                a_b = max(
+                    64,
+                    min(
+                        spec_b.num_cells,
+                        int(
+                            boundaries.capacity
+                            * sim.dense_active_ratio_boundary
+                        ),
+                    ),
+                )
+                self.binb = dg.bin_particles_active(
+                    spec_b, a_b, boundaries.positions, boundaries.alive,
+                    cap=spec_b.cap,
+                )
+                self.sb = dg.ActiveSpec(a_b + 1, spec_b.cap)
+                nbb = dg.neighbor_table(
+                    spec_f, self.binb.active_cells, self.binb.cell_to_active
+                )
+                self.jbb = lambda arr, o: arr[..., nbb[:, o]]
+                shifts = jnp.asarray(
+                    [spec_f.flat_shift(off) for off in offs], jnp.int32
+                )
+                C = spec_f.num_cells
+                active = self.binb.active_cells  # [A_b + 1], void = C
+                is_void = active >= C
+
+                def fluid_cols(o, sign):
+                    """Full-grid fluid column per boundary active cell at
+                    +/- offset o: (gather index in-bounds, scatter index
+                    with void -> out-of-bounds for mode='drop')."""
+                    cols = active + sign * shifts[o]
+                    gather = jnp.where(is_void, 0, cols)
+                    scatter = jnp.where(is_void, C, cols)
+                    return gather, scatter
+
+                self._fluid_cols = fluid_cols
+                self._b_active = active
+                self._b_is_void = is_void
+                # Solver-internal fb passes are flipped to boundary-owner
+                # blocks (``_hoist_fb_sparse`` / ``boundary_forces``); the
+                # fluid-owner jfb view is only kept for generality.
+                self.jfb = lambda arr, o: dg.shift_j(spec_f, arr, offs[o])
+
+                def jbf(arr, o):
+                    g, _ = fluid_cols(o, 1)
+                    return arr[..., g]
+
+                self.jbf = jbf
+            else:
+                self.binb = dg.bin_particles(
+                    spec_b, boundaries.positions, boundaries.alive
+                )
+                self.sb = spec_b
+                self.jfb = self.jff
+                self.jbf = self.jff
+                self.jbb = self.jff
 
         if halo is None:
             self.interior = None
@@ -211,6 +271,23 @@ class DenseCtx:
         self.maskb = self.binb.mask
 
         self._compute_boundary_volumes()
+        if self.sparse_b:
+            # Rematerialize the compact boundary arrays onto the full grid
+            # once (a handful of small scatters): the fluid-owner fb hoist
+            # and the force passes then run as roll-view blocks — measured
+            # faster than per-offset compact-table gathers, which cost
+            # more than they save (see config.dense_sparse_boundary).
+            C = self.spec_f.num_cells
+            cols = jnp.where(self._b_is_void, C, self._b_active)
+
+            def to_full(arr, fill=0.0):
+                full = jnp.full(arr.shape[:-1] + (C,), fill, arr.dtype)
+                return full.at[..., cols].set(arr, mode="drop")
+
+            self._Pb_full = to_full(self.Pb, dg.POS_SENTINEL)
+            self._Vbvel_full = to_full(self.Vbvel)
+            self._Volb_full = to_full(self.Volb)
+            self._maskb_full = to_full(self.maskb)
         self._hoist()
         self.frozen = bool(getattr(sim, "dense_frozen_pairs", False))
         if self.frozen:
@@ -221,6 +298,8 @@ class DenseCtx:
         extra = 0
         if self.compact:
             extra = self.binf.active_overflow + self.binb.active_overflow
+        elif self.sparse_b:
+            extra = self.binb.active_overflow
         return self.binf.overflow + self.binb.overflow + extra
 
     # -- per-substep passes -------------------------------------------------
@@ -264,6 +343,8 @@ class DenseCtx:
         kg_w, kg_dw = self.kg
         dim, h = self.dim, self.h
 
+        need_s2 = self.need_s2
+
         def ff_body(acc, dpos, r2, within, j):
             rho, gf, sq, s2, cnt = acc
             _, dwr = w_dwr(r2, h, dim, kg_w, kg_dw)
@@ -277,7 +358,8 @@ class DenseCtx:
                 gf_new.append(gf[d] + jnp.sum(g_d * mj, axis=1))
                 gsq = gsq + g_d * g_d
             sq = sq + jnp.sum(gsq * mj * mj, axis=1)
-            s2 = s2 + jnp.sum(gsq * mj, axis=1)
+            if need_s2:
+                s2 = s2 + jnp.sum(gsq * mj, axis=1)
             cnt = cnt + jnp.sum(within.astype(jnp.int32), axis=1)
             return rho, jnp.stack(gf_new), sq, s2, cnt
 
@@ -304,14 +386,20 @@ class DenseCtx:
                 gsq = gsq + g_d * g_d
                 vdotg = vdotg + j["vb"][d][None, :, :] * g_d * vj
             sq = sq + jnp.sum(gsq * vj * vj, axis=1)
-            s2 = s2 + jnp.sum(gsq * vj, axis=1)
+            if need_s2:
+                s2 = s2 + jnp.sum(gsq * vj, axis=1)
             sb = sb + jnp.sum(vdotg, axis=1)
             cnt = cnt + jnp.sum(within.astype(jnp.int32), axis=1)
             return rho, jnp.stack(gb_new), sq, s2, sb, cnt
 
+        if self.sparse_b:
+            pb, maskb = self._Pb_full, self._maskb_full
+            volb, vbvel = self._Volb_full, self._Vbvel_full
+        else:
+            pb, maskb, volb, vbvel = self.Pb, self.maskb, self.Volb, self.Vbvel
         rho_fb, Gb_raw, sq_fb, s2_fb, Sb_raw, cnt_fb = fold_pairs(
-            self.offsets, h, dim, self.P, self.maskf, self.Pb, self.maskb,
-            self.jfb, {"vol": self.Volb, "vb": self.Vbvel}, fb_body,
+            self.offsets, h, dim, self.P, self.maskf, pb, maskb,
+            self.jfb, {"vol": volb, "vb": vbvel}, fb_body,
             (z, jnp.zeros_like(self.P), z, z, z,
              jnp.zeros_like(self.maskf, dtype=jnp.int32)),
         )
@@ -469,6 +557,34 @@ class DenseCtx:
             self.jbf, {"coef": coef}, body, jnp.zeros_like(self.Pb),
         )
         return self.Volb[None] * Fb
+
+    # -- force-facing views ---------------------------------------------------
+
+    def force_field_views(self):
+        """(jfb, jbf, Pb, Vbvel, Volb, maskb) as the non-pressure force
+        passes (``forces_dense``) consume them.
+
+        In sparse-boundary mode the boundary arrays were rematerialized
+        onto the full grid at construction (compact-table gathers over
+        the full cell axis measured ~3x slower than rolls on TPU), so
+        force passes run as plain roll-view blocks."""
+        if not self.sparse_b:
+            return (self.jfb, self.jbf, self.Pb, self.Vbvel, self.Volb,
+                    self.maskb)
+        roll = self.jff
+        return (
+            roll, roll, self._Pb_full, self._Vbvel_full, self._Volb_full,
+            self._maskb_full,
+        )
+
+    def np_fb_to_native(self, fb_full):
+        """Bring a force boundary-feedback grid back to the native
+        boundary layout (full grid -> compact columns in sparse mode)."""
+        if not self.sparse_b:
+            return fb_full
+        gather_cols = jnp.where(self._b_is_void, 0, self._b_active)
+        out = fb_full[..., gather_cols]
+        return out * self.maskb[None] if out.ndim == 3 else out * self.maskb
 
     # -- layout conversion ---------------------------------------------------
 

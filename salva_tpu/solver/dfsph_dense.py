@@ -56,7 +56,10 @@ def build_dense_substep(sim: SimConfig, cfg: DFSPHConfig, num_fluids: int,
         boundaries = boundaries.clear_forces()
 
         halo = halo_builder() if halo_builder is not None else None
-        ctx = DenseCtx(sim, spec_f, spec_b, fluids, boundaries, halo=halo)
+        ctx = DenseCtx(
+            sim, spec_f, spec_b, fluids, boundaries, halo=halo,
+            need_s2=False,  # s2_ff / s2_m are IISPH-only sums
+        )
         maskf, live, R0 = ctx.maskf, ctx.live, ctx.R0
         DV = ctx.to_f(velocity_changes)
 
@@ -117,16 +120,21 @@ def build_dense_substep(sim: SimConfig, cfg: DFSPHConfig, num_fluids: int,
         if dense_forces:
             from .forces_dense import DenseFields, ParticleWiseForce
 
+            jfb_v, jbf_v, Pb_v, Vbvel_v, Volb_v, maskb_v = (
+                ctx.force_field_views()
+            )
             VOLg = ctx.to_f(fluids.volumes)
             fields = DenseFields(
-                jff=ctx.jff, jfb=ctx.jfb, jbf=ctx.jbf,
+                jff=ctx.jff, jfb=jfb_v, jbf=jbf_v,
                 n_offsets=len(ctx.offsets), P=ctx.P, V=V2, M=ctx.M,
                 VOL=VOLg, R0=R0, RHO=ctx.rho, FID=ctx.FID, maskf=maskf,
-                Pb=ctx.Pb, Vbvel=ctx.Vbvel, Volb=ctx.Volb, maskb=ctx.maskb,
+                Pb=Pb_v, Vbvel=Vbvel_v, Volb=Volb_v, maskb=maskb_v,
                 h=sim.h, dim=dim, dt=dt, inv_dt=inv_dt,
                 kernel_density=sim.kernel_density,
                 kernel_gradient=sim.kernel_gradient,
             )
+            np_Fb_force = jnp.zeros_like(Pb_v)
+            any_fb = False
             for force in dense_forces:
                 if isinstance(force, ParticleWiseForce):
                     # Static-topology force (elasticity): particle layout,
@@ -137,7 +145,10 @@ def build_dense_substep(sim: SimConfig, cfg: DFSPHConfig, num_fluids: int,
                 a_d, fb_d = force.apply(fields)
                 A = A + a_d * maskf[None]
                 if fb_d is not None:
-                    np_Fb = np_Fb + fb_d
+                    np_Fb_force = np_Fb_force + fb_d
+                    any_fb = True
+            if any_fb:
+                np_Fb = np_Fb + ctx.np_fb_to_native(np_Fb_force)
         DV = DV + A * dt
         if halo is not None:
             # Single-roll force passes are valid on owned cells only.

@@ -50,15 +50,20 @@ def build_dense_substep(sim: SimConfig, cfg: IISPHConfig, num_fluids: int,
         if dense_forces:
             from .forces_dense import DenseFields, ParticleWiseForce
 
+            jfb_v, jbf_v, Pb_v, Vbvel_v, Volb_v, maskb_v = (
+                ctx.force_field_views()
+            )
             fields = DenseFields(
-                jff=ctx.jff, jfb=ctx.jfb, jbf=ctx.jbf,
+                jff=ctx.jff, jfb=jfb_v, jbf=jbf_v,
                 n_offsets=len(ctx.offsets), P=ctx.P, V=ctx.V, M=ctx.M,
                 VOL=ctx.to_f(fluids.volumes), R0=R0, RHO=ctx.rho,
-                FID=ctx.FID, maskf=maskf, Pb=ctx.Pb, Vbvel=ctx.Vbvel,
-                Volb=ctx.Volb, maskb=ctx.maskb, h=sim.h, dim=dim,
+                FID=ctx.FID, maskf=maskf, Pb=Pb_v, Vbvel=Vbvel_v,
+                Volb=Volb_v, maskb=maskb_v, h=sim.h, dim=dim,
                 dt=dt, inv_dt=inv_dt, kernel_density=sim.kernel_density,
                 kernel_gradient=sim.kernel_gradient,
             )
+            np_Fb_force = jnp.zeros_like(Pb_v)
+            any_fb = False
             for force in dense_forces:
                 if isinstance(force, ParticleWiseForce):
                     a_p = force.force.apply_particles(fluids, es, dim)
@@ -67,7 +72,10 @@ def build_dense_substep(sim: SimConfig, cfg: IISPHConfig, num_fluids: int,
                 a_d, fb_d = force.apply(fields)
                 A = A + a_d * maskf[None]
                 if fb_d is not None:
-                    np_Fb = np_Fb + fb_d
+                    np_Fb_force = np_Fb_force + fb_d
+                    any_fb = True
+            if any_fb:
+                np_Fb = np_Fb + ctx.np_fb_to_native(np_Fb_force)
         DV = A * dt
 
         rho_safe = jnp.maximum(ctx.rho, 1e-12)
