@@ -152,6 +152,14 @@ class SimConfig:
     # + 7-channel scatters cost more than the vacuum they skip).
     # Disabled automatically under the halo (multi-device) path.
     dense_sparse_boundary: bool = True
+    # Uniform-particle fast path: when the world holds exactly one fluid
+    # whose particles share one (mass, rest density) — the common case —
+    # the per-particle M/R0/FID/VOL channels are pure functions of the
+    # occupancy mask, so their grid scatters (a large share of the
+    # per-substep layout-shuffle cost; XLA TPU scatters are
+    # per-index-bound at ~8M indices/s) are skipped entirely. Set
+    # automatically by the world; None = general multi-fluid path.
+    uniform_particles: Optional[tuple] = None  # (mass, density0)
     # Recompute boundary volumes (V_b = 1/sum W_bb) this step. The world
     # flips this to False for steps where no boundary changed (static
     # boundaries, no coupling): volumes are then read from the state,

@@ -259,11 +259,23 @@ class DenseCtx:
             self.sf, self.binf, fluids.positions, fill=dg.POS_SENTINEL
         )
         self.V = dg.to_grid(self.sf, self.binf, fluids.velocities)
-        self.M = dg.to_grid(self.sf, self.binf, fluids.masses)
-        self.R0 = dg.to_grid(self.sf, self.binf, fluids.density0, fill=1.0)
-        self.FID = dg.to_grid(self.sf, self.binf, fluids.fluid_id, fill=-1)
         self.maskf = self.binf.mask
         self.live = self.maskf > 0
+        self.uniform = getattr(sim, "uniform_particles", None)
+        if self.uniform is not None:
+            # Constant channels derived from the mask — no scatters.
+            m0, rho0 = self.uniform
+            self.M = self.maskf * jnp.float32(m0)
+            self.R0 = jnp.where(self.live, jnp.float32(rho0), 1.0)
+            self.FID = jnp.where(self.live, 0, -1).astype(jnp.int32)
+        else:
+            self.M = dg.to_grid(self.sf, self.binf, fluids.masses)
+            self.R0 = dg.to_grid(
+                self.sf, self.binf, fluids.density0, fill=1.0
+            )
+            self.FID = dg.to_grid(
+                self.sf, self.binf, fluids.fluid_id, fill=-1
+            )
         self.Pb = dg.to_grid(
             self.sb, self.binb, boundaries.positions, fill=dg.POS_SENTINEL
         )
@@ -587,6 +599,13 @@ class DenseCtx:
         return out * self.maskb[None] if out.ndim == 3 else out * self.maskb
 
     # -- layout conversion ---------------------------------------------------
+
+    def vol_grid(self, fluids):
+        """Particle volumes in grid layout (mask-derived when uniform)."""
+        if self.uniform is not None:
+            m0, rho0 = self.uniform
+            return self.maskf * jnp.float32(m0 / rho0)
+        return self.to_f(fluids.volumes)
 
     def to_f(self, values, fill=0.0):
         return dg.to_grid(self.sf, self.binf, values, fill)

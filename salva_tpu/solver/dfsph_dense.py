@@ -123,7 +123,7 @@ def build_dense_substep(sim: SimConfig, cfg: DFSPHConfig, num_fluids: int,
             jfb_v, jbf_v, Pb_v, Vbvel_v, Volb_v, maskb_v = (
                 ctx.force_field_views()
             )
-            VOLg = ctx.to_f(fluids.volumes)
+            VOLg = ctx.vol_grid(fluids)
             fields = DenseFields(
                 jff=ctx.jff, jfb=jfb_v, jbf=jbf_v,
                 n_offsets=len(ctx.offsets), P=ctx.P, V=V2, M=ctx.M,

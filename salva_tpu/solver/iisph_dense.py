@@ -56,7 +56,7 @@ def build_dense_substep(sim: SimConfig, cfg: IISPHConfig, num_fluids: int,
             fields = DenseFields(
                 jff=ctx.jff, jfb=jfb_v, jbf=jbf_v,
                 n_offsets=len(ctx.offsets), P=ctx.P, V=ctx.V, M=ctx.M,
-                VOL=ctx.to_f(fluids.volumes), R0=R0, RHO=ctx.rho,
+                VOL=ctx.vol_grid(fluids), R0=R0, RHO=ctx.rho,
                 FID=ctx.FID, maskf=maskf, Pb=Pb_v, Vbvel=Vbvel_v,
                 Volb=Volb_v, maskb=maskb_v, h=sim.h, dim=dim,
                 dt=dt, inv_dt=inv_dt, kernel_density=sim.kernel_density,

@@ -708,6 +708,10 @@ class LiquidWorld:
         far beyond the particle capacity) — dense wins on dense fluids,
         loses on tiny particle sets in large domains."""
         sim = self.sim
+        if sim.domain is not None:
+            uniform = self._uniform_particles()
+            if sim.uniform_particles != uniform:
+                sim = sim.replace(uniform_particles=uniform)
         if sim.layout != "auto" or sim.domain is None:
             return sim
         mins, maxs = sim.domain
@@ -717,6 +721,18 @@ class LiquidWorld:
         if cells * sim.dense_cap > 64 * self.fluids_state.capacity:
             return sim.replace(layout="gather")
         return sim
+
+    def _uniform_particles(self):
+        """(mass, density0) when all live particles provably share them —
+        one non-removed fluid record (particle volume/mass/density0 are
+        record-derived constants) — else None. Enables the dense path's
+        scatter-free constant channels (config.uniform_particles)."""
+        live = [r for r in self._fluid_records if not r.removed]
+        if len(live) != 1:
+            return None
+        rec = live[0]
+        m0 = particle_volume(rec.particle_radius, self.dim) * rec.density0
+        return (float(m0), float(rec.density0))
 
     def _boundary_volume_mode(self, sim: SimConfig, coupling) -> SimConfig:
         """Skip the boundary-volume pair pass on steps where no boundary
