@@ -131,7 +131,9 @@ def build_sharded_step_fn(sim, solver_cfg, forces, num_fluids: int,
         )
     spec_f, spec_b, dense_forces = dense
     from ..solver.forces_dense import (
+        Akinci2013SurfaceTensionDense,
         ArtificialViscosityDense,
+        He2014SurfaceTensionDense,
         ParticleWiseForce,
         WCSPHSurfaceTensionDense,
         XSPHViscosityDense,
@@ -141,6 +143,8 @@ def build_sharded_step_fn(sim, solver_cfg, forces, num_fluids: int,
         XSPHViscosityDense,  # single pass; reads rho_j (exchanged in ctx)
         ArtificialViscosityDense,  # single pass; reads rho_j
         WCSPHSurfaceTensionDense,  # single pass over positions/masses
+        Akinci2013SurfaceTensionDense,  # exchanges its normals mid-force
+        He2014SurfaceTensionDense,  # exchanges color + |grad c|^2
         ParticleWiseForce,  # particle layout (replicated), no grid pass
     )
     for f in dense_forces:

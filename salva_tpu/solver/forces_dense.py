@@ -54,6 +54,10 @@ class DenseFields(NamedTuple):
     inv_dt: jnp.ndarray
     kernel_density: str
     kernel_gradient: str
+    # Domain decomposition (parallel/domain.py): ghost-layer exchange for
+    # per-force intermediates computed on owned cells but read at j
+    # (e.g. Akinci normals, He2014 color gradients). None single-device.
+    halo: object = None
 
 
 def per_slot(values: Tuple[float, ...], FID):
@@ -309,6 +313,11 @@ class Akinci2013SurfaceTensionDense:
                 [f.h * jnp.sum(dpos[d] * s, axis=1) for d in range(f.dim)]
             )
 
+        if f.halo is not None:
+            # Normals at ghost columns saw half a neighborhood; pass 2
+            # reads n_j, so refresh from the owning devices.
+            N = f.halo.exchange(N)
+
         # Pass 2: cohesion + curvature (`:137-165`).
         accel = jnp.zeros_like(f.P)
         for dpos, r2, within, j in _pairs(
@@ -483,6 +492,9 @@ class He2014SurfaceTensionDense:
                 jnp.where(within, w * j["vol"][None, :, :], 0.0), axis=1
             )
 
+        if f.halo is not None:
+            colors = f.halo.exchange(colors)
+
         # Pass 2: |grad c|^2 (`:77-105`).
         safe_colors = jnp.where(jnp.abs(colors) > 0, colors, 1.0)
         gradc = jnp.zeros_like(f.P)
@@ -497,6 +509,8 @@ class He2014SurfaceTensionDense:
             )
         gradc = gradc / safe_colors[None]
         gradcs = jnp.sum(gradc * gradc, axis=0)
+        if f.halo is not None:
+            gradcs = f.halo.exchange(gradcs)
 
         # Pass 3: fluid force (`:138-158`).
         m_over_rho = f.M / jnp.maximum(f.RHO, EPSILON)

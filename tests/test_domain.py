@@ -52,6 +52,9 @@ def _run(world, step_fn, n_steps):
     [
         pytest.param((), id="pressure-only"),
         pytest.param((forces.XSPHViscosity(0.5, 0.5),), id="xsph"),
+        pytest.param((forces.Akinci2013SurfaceTension(1.0, 0.5),),
+                     id="akinci"),
+        pytest.param((forces.He2014SurfaceTension(1.0, 0.5),), id="he2014"),
     ],
 )
 def test_sharded_matches_single_device(np_forces):
@@ -84,7 +87,7 @@ def test_sharded_matches_single_device(np_forces):
 
 
 def test_sharded_rejects_unsupported_force():
-    world, _ = _world_3d((forces.Akinci2013SurfaceTension(1.0, 0.0),))
+    world, _ = _world_3d((forces.DFSPHViscosity(0.5),))
     mesh = make_mesh(8, axis_name="x")
     with pytest.raises(ValueError, match="halo"):
         get_jitted_sharded_step_fn(
