@@ -5,8 +5,12 @@ PY ?= python
 
 .PHONY: test test-fast native scenes bench entry-check clean
 
+# test_domain compiles the largest XLA programs (8-device shard_map);
+# it runs in its own interpreter so the CPU compiler gets a fresh heap
+# (see tests/test_domain.py::_fresh_compile_caches).
 test:
-	$(PY) -m pytest tests/ -x -q
+	$(PY) -m pytest tests/ -x -q --ignore=tests/test_domain.py
+	$(PY) -m pytest tests/test_domain.py -x -q
 
 # Curated fast tier (<5 min; the per-push CI gate, .github/workflows/ci.yml):
 # kernels, neighbor search vs brute force, one dense/gather equivalence,

@@ -124,6 +124,13 @@ def main():
             file=sys.stderr,
         )
 
+    # Capacity overflow must stay negligible (silently dropped contacts
+    # would flatter the benchmark): allow < 0.1% of N in deep splash.
+    overflow = int(diag.neighbor_overflow)
+    assert overflow < max(1, n_particles // 1000), (
+        f"neighbor overflow {overflow} at N={n_particles}; raise dense_cap"
+    )
+
     pps = n_particles * steps / elapsed
     print(
         json.dumps(

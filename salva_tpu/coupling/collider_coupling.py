@@ -114,6 +114,11 @@ class ColliderCouplingSet:
 
     def update_boundaries(self, world, dt: float):
         rw = self.rigid_world
+        # Static-sampling entries are pure host math (pose transform +
+        # rigid velocities); batch them into ONE device update so the
+        # per-step dispatch count stays constant in the collider count
+        # (each device round trip costs real latency on remote backends).
+        static_updates = {}
         for entry in self.entries.values():
             collider = rw.colliders[entry.collider]
             body = rw.body_of_collider(entry.collider)
@@ -122,9 +127,11 @@ class ColliderCouplingSet:
             if entry.sampling.kind == "static":
                 pts = entry.sampling.points @ R.T + t
                 vels = body.velocities_at_points(pts)
-                world.set_boundary_particles(entry.boundary, pts, vels)
+                static_updates[entry.boundary] = (pts, vels)
             else:
                 self._dynamic_update(world, entry, collider, body, R, t, dt)
+        if static_updates:
+            world.set_boundaries_bulk(static_updates)
 
     def _dynamic_update(self, world, entry, collider, body, R, t, dt: float):
         fl = world.fluids_state
@@ -155,13 +162,24 @@ class ColliderCouplingSet:
         world.set_boundary_particles(entry.boundary, pts, vels)
 
     def transmit_forces(self, world, dt: float):
-        """Boundary forces -> body impulses (`fluids_pipeline.rs:263-287`)."""
-        for entry in self.entries.values():
+        """Boundary forces -> body impulses (`fluids_pipeline.rs:263-287`).
+
+        One fetch of the merged force/position arrays serves every
+        coupled body (instead of two device->host transfers per entry).
+        """
+        dyn = [
+            e for e in self.entries.values()
+            if self.rigid_world.body_of_collider(e.collider).is_dynamic
+        ]
+        if not dyn:
+            return
+        forces_np = np.asarray(world.boundaries_state.forces)
+        pos_np = np.asarray(world.boundaries_state.positions)
+        for entry in dyn:
             body = self.rigid_world.body_of_collider(entry.collider)
-            if not body.is_dynamic:
+            slots = world.boundary_slots(entry.boundary)
+            if len(slots) == 0:
                 continue
-            forces = world.boundary_forces(entry.boundary)
-            if len(forces) == 0:
-                continue
-            pts = world.boundary_positions(entry.boundary)
-            body.apply_impulses_at_points(forces * dt, pts)
+            body.apply_impulses_at_points(
+                forces_np[slots] * dt, pos_np[slots]
+            )

@@ -344,25 +344,40 @@ class RigidBodyWorld:
             for i, c in enumerate(self.colliders)
             if self.bodies[c.body].is_dynamic
         ]
-        contacts = []
+        if not static_ids or not dynamic_ids:
+            return []
+        # Concatenate every dynamic collider's samples so each static
+        # collider costs ONE device query (round trips dominate on
+        # remote backends).
+        pts_parts, owner_parts = [], []
         for cd_id in dynamic_ids:
             cd = self.colliders[cd_id]
             body = self.bodies[cd.body]
             local = self._collider_samples(cd)
-            pts = local @ body.rotation.T + body.translation[None, :]
-            for cs_id in static_ids:
-                cs = self.colliders[cs_id]
-                R, t = self.collider_pose(cs_id)
-                _, d, n = shp.project_point(
-                    cs.shape, pts.astype(np.float32), R, t
-                )
-                d = np.asarray(d)
-                n = np.asarray(n)
-                hit = d < margin
-                for i in np.where(hit)[0]:
-                    contacts.append(
-                        (body, pts[i], n[i].astype(np.float32), float(-d[i]))
+            pts_parts.append(
+                (local @ body.rotation.T + body.translation[None, :])
+                .astype(np.float32)
+            )
+            owner_parts.append(np.full(len(local), cd.body, np.int64))
+        all_pts = np.concatenate(pts_parts)
+        owners = np.concatenate(owner_parts)
+
+        contacts = []
+        for cs_id in static_ids:
+            cs = self.colliders[cs_id]
+            R, t = self.collider_pose(cs_id)
+            _, d, n = shp.project_point(cs.shape, all_pts, R, t)
+            d = np.asarray(d)
+            n = np.asarray(n)
+            for i in np.where(d < margin)[0]:
+                contacts.append(
+                    (
+                        self.bodies[owners[i]],
+                        all_pts[i],
+                        n[i].astype(np.float32),
+                        float(-d[i]),
                     )
+                )
         return contacts
 
     def _effective_mass(self, b: RigidBody, r: np.ndarray, axis: np.ndarray

@@ -536,6 +536,44 @@ class LiquidWorld:
             if n_new:
                 self._write_boundary_particles(handle, positions, velocities)
 
+    def set_boundaries_bulk(self, updates):
+        """Replace the particles of several boundaries in ONE device
+        update (used by coupling: per-step dispatch count stays constant
+        in the collider count). ``updates``: {handle: (positions,
+        velocities|None)}. Handles whose particle count changed fall back
+        to :meth:`set_boundary_particles`."""
+        idx_parts, pos_parts, vel_parts = [], [], []
+        leftovers = {}
+        for handle, (pts, vels) in updates.items():
+            pts = np.asarray(pts, np.float32)
+            slots = np.where(self._boundary_slot_owner == handle)[0]
+            if len(slots) == len(pts):
+                idx_parts.append(slots)
+                pos_parts.append(pts)
+                vel_parts.append(
+                    np.asarray(vels, np.float32)
+                    if vels is not None else np.zeros_like(pts)
+                )
+            else:
+                leftovers[handle] = (pts, vels)
+        if idx_parts:
+            idx_np = np.concatenate(idx_parts)
+            idx = jnp.asarray(idx_np)
+            st = self.boundaries_state
+            self.boundaries_state = st.replace(
+                positions=st.positions.at[idx].set(
+                    jnp.asarray(np.concatenate(pos_parts))
+                ),
+                velocities=st.velocities.at[idx].set(
+                    jnp.asarray(np.concatenate(vel_parts))
+                ),
+                alive=st.alive.at[idx].set(True),
+            )
+            self._boundary_alive[idx_np] = True
+            self._boundary_dirty = True
+        for handle, (pts, vels) in leftovers.items():
+            self.set_boundary_particles(handle, pts, vels)
+
     # -- force-set / elasticity assembly ----------------------------------
 
     def _has_elasticity(self, handle: int) -> bool:

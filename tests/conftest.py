@@ -30,3 +30,17 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 
 assert jax.devices()[0].platform == "cpu", jax.devices()
+
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _bounded_compile_memory():
+    """XLA's CPU compiler has segfaulted (rc=139) when compiling the
+    suite's largest programs late in a long-lived process with dozens of
+    cached executables (observed in test_scenes/test_domain; never in
+    isolation). Dropping JAX's caches at module boundaries keeps every
+    module's compiles within the same headroom they get standalone."""
+    jax.clear_caches()
+    yield

@@ -2,9 +2,21 @@
 the cell-axis-sharded dense step must match the single-device dense step
 on the virtual 8-device CPU mesh (SURVEY.md §2.3 / §5.8)."""
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _fresh_compile_caches():
+    """The sharded step is the largest program in the suite; compiling
+    it on CPU after dozens of cached executables has segfaulted XLA's
+    CPU backend (observed rc=139 in full-suite runs, never in
+    isolation). Dropping the caches first keeps the compile within the
+    same headroom it gets standalone."""
+    jax.clear_caches()
+    yield
 
 from salva_tpu import forces, shapes
 from salva_tpu.config import DFSPHConfig, NeighborConfig
