@@ -402,10 +402,15 @@ def faucet3(particle_radius: float = 0.0125) -> Scene:
     """Emitter + deletion (`examples3d/faucet3.rs:69-105`): a 10x10 particle
     sheet is emitted every 0.06 s at y=0.6 above a static ball; particles
     below y=-2 are deleted."""
-    # Gather layout on purpose: the emitter grows capacity repeatedly and
-    # the fall corridor is tall/empty — a static dense grid would be
-    # mostly vacuum and recompile on every growth.
-    pip = FluidsPipeline(particle_radius, 2.0, dim=3, layout="gather")
+    # Domain box sized to the fall corridor: on accelerators the auto
+    # layout takes the dense path (vacuum is cheap there; gather is
+    # ~100x slower) and the emitter's occasional capacity-growth
+    # recompiles amortize; on CPU the same heuristic keeps the gather
+    # path (the grid exceeds its slot budget).
+    pip = FluidsPipeline(
+        particle_radius, 2.0, dim=3,
+        domain=((-1.2, -2.3, -1.2), (1.2, 0.9, 1.2)),
+    )
     fl = pip.liquid_world.add_fluid(
         Fluid(np.zeros((0, 3), np.float32), density0=1000.0,
               nonpressure_forces=[
