@@ -420,6 +420,10 @@ def faucet3(particle_radius: float = 0.0125) -> Scene:
     )
     ground = pip.bodies.add_body("fixed")
     _register_static(pip, ground, shapes.Ball(0.15), particle_radius)
+    # Reserve the emitter's steady-state head count (100 particles per
+    # 0.06 s, ~0.75 s of fall to the deletion plane) so capacity growth
+    # never recompiles the step mid-run.
+    pip.liquid_world.reserve_fluid_capacity(4096)
 
     state = {"last_t": -1.0}
 

@@ -416,6 +416,15 @@ class LiquidWorld:
             (self._boundary_slot_owner == handle) & self._boundary_alive
         )[0]
 
+    def reserve_fluid_capacity(self, n: int):
+        """Pre-grow the fluid arrays to hold at least ``n`` particles.
+
+        Capacity growth changes array shapes and therefore recompiles
+        the step; emitter scenes (`faucet3.rs`) reserve their steady-state
+        head count up front so no growth (and no recompile) happens
+        mid-run."""
+        self._grow_fluids(int(n))
+
     def add_particles(self, handle: int, positions, velocities=None):
         """`Fluid::add_particles` (`fluid.rs:126-150`)."""
         slots = self._write_fluid_particles(handle, positions, velocities)
