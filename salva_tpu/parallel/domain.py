@@ -108,20 +108,24 @@ def pad_spec_for_devices(spec, n_dev: int):
 
 def build_sharded_step_fn(sim, solver_cfg, forces, num_fluids: int,
                           mesh: Mesh):
-    """The dense DFSPH step sharded over ``mesh``'s first axis.
+    """The dense solver step (DFSPH or IISPH) sharded over ``mesh``'s
+    first axis.
 
     Same signature/outputs as ``step.build_step_fn``. Requires the dense
-    grid layout (static ``sim.domain``), the DFSPH solver, grid (not
-    compact) indexing, and halo-compatible forces.
+    grid layout (static ``sim.domain``), grid (not compact) indexing,
+    and halo-compatible forces.
     """
     from ..step import _dense_config
-    from ..solver.dfsph_dense import build_dense_substep
 
     if getattr(sim, "dense_compact", False):
         raise ValueError("domain decomposition requires dense_compact=False")
-    if solver_cfg.kind != "dfsph":
+    if solver_cfg.kind == "dfsph":
+        from ..solver.dfsph_dense import build_dense_substep
+    elif solver_cfg.kind == "iisph":
+        from ..solver.iisph_dense import build_dense_substep
+    else:
         raise ValueError(
-            "domain decomposition currently supports the DFSPH solver only"
+            f"domain decomposition: unsupported solver {solver_cfg.kind!r}"
         )
     dense = _dense_config(sim, solver_cfg, forces)
     if dense is None:

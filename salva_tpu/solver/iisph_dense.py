@@ -30,7 +30,7 @@ from .dense_common import DenseCtx, per_fluid_mean_max_grid
 
 def build_dense_substep(sim: SimConfig, cfg: IISPHConfig, num_fluids: int,
                         spec_f: dg.DenseGridSpec, spec_b: dg.DenseGridSpec,
-                        dense_forces=()):
+                        dense_forces=(), halo_builder=None):
     dim = sim.dim
 
     def substep(fluids: FluidsState, boundaries: BoundariesState,
@@ -40,7 +40,8 @@ def build_dense_substep(sim: SimConfig, cfg: IISPHConfig, num_fluids: int,
         dt2 = dt * dt
         boundaries = boundaries.clear_forces()
 
-        ctx = DenseCtx(sim, spec_f, spec_b, fluids, boundaries)
+        halo = halo_builder() if halo_builder is not None else None
+        ctx = DenseCtx(sim, spec_f, spec_b, fluids, boundaries, halo=halo)
         maskf, live, R0 = ctx.maskf, ctx.live, ctx.R0
         P_grid = ctx.to_f(pressures)
 
@@ -77,6 +78,10 @@ def build_dense_substep(sim: SimConfig, cfg: IISPHConfig, num_fluids: int,
             if any_fb:
                 np_Fb = np_Fb + ctx.np_fb_to_native(np_Fb_force)
         DV = A * dt
+        if halo is not None:
+            # Force passes are valid on owned cells only; the predicted
+            # densities read (V + DV) at j.
+            DV = halo.exchange(DV)
 
         rho_safe = jnp.maximum(ctx.rho, 1e-12)
         inv_rho2 = 1.0 / (rho_safe * rho_safe)
@@ -96,10 +101,19 @@ def build_dense_substep(sim: SimConfig, cfg: IISPHConfig, num_fluids: int,
 
         def body(carry):
             i, p, _, _ = carry
+            if halo is not None:
+                # Ghost pressures are one iteration stale (the Jacobi
+                # update is computed on owned cells only); pass 1 reads
+                # p at j, so refresh first.
+                p = halo.exchange(p)
             # Pass 1: D = dij_pjl (`:235-268`).
             D = -dt2 * ctx.k_pass(p * inv_rho2)
             # Pass 2: q_j = d_jj p_j + D_j reduction (`:270-353`).
             q = dii * p[None] + D
+            if halo is not None:
+                # dii/D are hoisted/computed from ghost-incomplete sums;
+                # t_pass reads q at j.
+                q = halo.exchange(q)
             t_q = ctx.t_pass(q)
             sum_all = (
                 jnp.sum(D * ctx.Gsum, axis=0)  # D_i . (Gf + Gb)
@@ -113,7 +127,10 @@ def build_dense_substep(sim: SimConfig, cfg: IISPHConfig, num_fluids: int,
             err_i = jnp.where(
                 usable & positive, (-sum_all - aii * next_p) / R0, 0.0
             )
-            err = per_fluid_mean_max_grid(err_i, ctx.FID, maskf, num_fluids)
+            err = per_fluid_mean_max_grid(
+                err_i, ctx.FID, maskf, num_fluids,
+                halo=halo, interior=ctx.interior,
+            )
             converged = (err <= cfg.max_density_error) & (i >= cfg.min_pressure_iter)
             return i + 1, next_p, err, converged
 
@@ -128,6 +145,9 @@ def build_dense_substep(sim: SimConfig, cfg: IISPHConfig, num_fluids: int,
         )
 
         # Velocity changes from final pressures (`:355-404`).
+        if halo is not None:
+            # Final k_pass / boundary pass read p at j.
+            P_grid = halo.exchange(P_grid)
         p_over_rho2 = P_grid * inv_rho2
         K = ctx.k_pass(p_over_rho2)
         DV = DV - dt * (p_over_rho2[None] * ctx.Gf + K)
@@ -155,6 +175,18 @@ def build_dense_substep(sim: SimConfig, cfg: IISPHConfig, num_fluids: int,
 
         zero_i = jnp.zeros((), jnp.int32)
         zero_f = jnp.zeros((), jnp.float32)
+        own = live if halo is None else live & ctx.interior
+        ncontacts_ff = jnp.sum(jnp.where(own, ctx.cnt_ff, 0))
+        ncontacts_fb = jnp.sum(jnp.where(own, ctx.cnt_fb, 0))
+        neighbor_overflow = ctx.bin_overflow
+        candidate_overflow = ctx.binf.clamped + ctx.binb.clamped
+        max_rho = jnp.max(jnp.where(own, ctx.rho / R0, 0.0), initial=0.0)
+        if halo is not None:
+            ncontacts_ff = halo.psum(ncontacts_ff)
+            ncontacts_fb = halo.psum(ncontacts_fb)
+            neighbor_overflow = halo.psum(neighbor_overflow)
+            candidate_overflow = halo.psum(candidate_overflow)
+            max_rho = halo.pmax(max_rho)
         diag = StepDiagnostics(
             solver=SolverDiagnostics(
                 pressure_iters=iters,
@@ -162,13 +194,11 @@ def build_dense_substep(sim: SimConfig, cfg: IISPHConfig, num_fluids: int,
                 divergence_iters=zero_i,
                 divergence_error=zero_f,
             ),
-            ncontacts_ff=jnp.sum(jnp.where(live, ctx.cnt_ff, 0)),
-            ncontacts_fb=jnp.sum(jnp.where(live, ctx.cnt_fb, 0)),
-            neighbor_overflow=ctx.bin_overflow,
-            candidate_overflow=ctx.binf.clamped + ctx.binb.clamped,
-            max_density_ratio=jnp.max(
-                jnp.where(live, ctx.rho / R0, 0.0), initial=0.0
-            ),
+            ncontacts_ff=ncontacts_ff,
+            ncontacts_fb=ncontacts_fb,
+            neighbor_overflow=neighbor_overflow,
+            candidate_overflow=candidate_overflow,
+            max_density_ratio=max_rho,
         )
         return fluids, boundaries, new_pressures, diag
 

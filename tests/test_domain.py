@@ -30,9 +30,10 @@ from salva_tpu.world import Boundary, Fluid, LiquidWorld
 RADIUS = 0.05
 
 
-def _world_3d(np_forces=()):
+def _world_3d(np_forces=(), solver=None):
     world = LiquidWorld(
-        solver=DFSPHConfig(), particle_radius=RADIUS, dim=3,
+        solver=solver if solver is not None else DFSPHConfig(),
+        particle_radius=RADIUS, dim=3,
         neighbors=NeighborConfig(max_neighbors=48, max_candidates=192,
                                  query_chunk=16384),
         domain=((-1.2, -0.5, -1.2), (1.2, 1.6, 1.2)),
@@ -96,6 +97,30 @@ def test_sharded_matches_single_device(np_forces):
     assert int(ds.solver.divergence_iters) == int(d1.solver.divergence_iters)
     assert int(ds.ncontacts_ff) == int(d1.ncontacts_ff)
     assert int(ds.neighbor_overflow) == int(d1.neighbor_overflow) == 0
+
+
+def test_sharded_iisph_matches_single_device():
+    """The second pressure solver under domain decomposition: the Jacobi
+    pressure iterate's ghost layers are exchanged per iteration."""
+    from salva_tpu.config import IISPHConfig
+
+    world, _ = _world_3d(solver=IISPHConfig())
+    mesh = make_mesh(8, axis_name="x")
+    sharded = get_jitted_sharded_step_fn(
+        world.sim, world.solver_config, world._force_set, 1, mesh
+    )
+    single = get_jitted_step_fn(
+        world.sim, world.solver_config, world._force_set, 1
+    )
+    fs, bs, ds = _run(world, sharded, 5)
+    f1, b1, d1 = _run(world, single, 5)
+    np.testing.assert_allclose(
+        np.asarray(fs.positions), np.asarray(f1.positions), atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(bs.forces), np.asarray(b1.forces), atol=5e-3
+    )
+    assert int(ds.solver.pressure_iters) == int(d1.solver.pressure_iters)
 
 
 def test_sharded_rejects_unsupported_force():
