@@ -159,7 +159,7 @@ class SimConfig:
     # per-substep layout-shuffle cost; XLA TPU scatters are
     # per-index-bound at ~8M indices/s) are skipped entirely. Set
     # automatically by the world; None = general multi-fluid path.
-    uniform_particles: Optional[tuple] = None  # (mass, density0)
+    uniform_particles: Optional[tuple] = None  # (fluid_handle, mass, density0)
     # Recompute boundary volumes (V_b = 1/sum W_bb) this step. The world
     # flips this to False for steps where no boundary changed (static
     # boundaries, no coupling): volumes are then read from the state,

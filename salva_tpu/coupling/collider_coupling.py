@@ -156,7 +156,18 @@ class ColliderCouplingSet:
         world.fluids_state = fl.replace(positions=new_pos, velocities=new_vel)
 
         emit_np = np.asarray(emit)
-        idx = np.where(emit_np)[0][: entry.sampling.max_samples]
+        hits = np.where(emit_np)[0]
+        if len(hits) > entry.sampling.max_samples:
+            import warnings
+
+            warnings.warn(
+                f"DynamicContactSampling on boundary {entry.boundary}: "
+                f"{len(hits)} contact samples exceed max_samples="
+                f"{entry.sampling.max_samples}; dropping "
+                f"{len(hits) - entry.sampling.max_samples}. Raise "
+                "DynamicContactSampling.max_samples."
+            )
+        idx = hits[: entry.sampling.max_samples]
         pts = np.asarray(proj)[idx]
         vels = body.velocities_at_points(pts) if len(pts) else np.zeros_like(pts)
         world.set_boundary_particles(entry.boundary, pts, vels)

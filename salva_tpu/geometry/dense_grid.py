@@ -45,6 +45,11 @@ class DenseGridSpec:
     dims: Tuple[int, ...]  # number of cells per axis (incl. ghost ring)
     cap: int  # max particles per cell
     cell_width: float
+    # Unpadded x-extent for interior clamping: when the x-axis is padded
+    # up to a device-count multiple (parallel.domain.pad_spec_for_devices),
+    # escaped particles must still clamp to the ORIGINAL border ring or
+    # sharded and single-device runs bin them into different cells.
+    clamp_nx: int = None
 
     def __post_init__(self):
         if any(d < 3 for d in self.dims):
@@ -238,10 +243,13 @@ def bin_particles_slab(spec: DenseGridSpec, nxl: int, x0, positions, alive
     traced int32."""
     n = positions.shape[0]
     origin = jnp.asarray(spec.origin, positions.dtype)
-    dims = jnp.asarray(spec.dims, jnp.int32)
+    hi = np.asarray(spec.dims, np.int32) - 2
+    if spec.clamp_nx is not None:
+        hi[0] = spec.clamp_nx - 2
+    hi = jnp.asarray(hi, jnp.int32)
     c = jnp.floor((positions - origin) / spec.cell_width).astype(jnp.int32)
-    clamped_mask = jnp.any((c < 1) | (c >= dims - 1), axis=-1)
-    c = jnp.clip(c, 1, dims - 2)
+    clamped_mask = jnp.any((c < 1) | (c > hi), axis=-1)
+    c = jnp.clip(c, 1, hi)
     rest = c[..., 1]
     for axis in range(2, spec.dim):
         rest = rest * spec.dims[axis] + c[..., axis]

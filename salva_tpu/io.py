@@ -77,6 +77,10 @@ def save_world(world, path: str):
         meta["fluid_records"].append(
             {
                 "density0": rec.density0,
+                # Per-fluid radius drives particle volume/mass on the
+                # uniform dense path and in add_particles
+                # (`fluid.rs:22,110-120`) — must round-trip.
+                "particle_radius": rec.particle_radius,
                 "memberships": rec.groups.memberships,
                 "filter": rec.groups.filter,
                 "removed": rec.removed,
@@ -142,6 +146,11 @@ def load_world(path: str):
             density0=r["density0"],
             groups=InteractionGroups(r["memberships"], r["filter"]),
             nonpressure_forces=[_force_from_json(f) for f in r["forces"]],
+            # Older snapshots predate per-fluid radii: fall back to the
+            # world radius rather than a zero-volume 0.0 default.
+            particle_radius=r.get(
+                "particle_radius", meta["particle_radius"]
+            ),
             removed=r["removed"],
         )
         for r in meta["fluid_records"]

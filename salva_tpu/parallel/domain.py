@@ -102,7 +102,10 @@ def pad_spec_for_devices(spec, n_dev: int):
     nx = spec.dims[0]
     pad = (-nx) % n_dev
     if pad:
-        spec = spec.replace(dims=(nx + pad,) + spec.dims[1:])
+        # clamp_nx keeps escaped particles clamping to the ORIGINAL
+        # border ring (pad layers stay permanently empty) so sharded and
+        # single-device binning agree once a particle leaves +x.
+        spec = spec.replace(dims=(nx + pad,) + spec.dims[1:], clamp_nx=nx)
     return spec
 
 
@@ -161,7 +164,7 @@ def build_sharded_step_fn(sim, solver_cfg, forces, num_fluids: int,
     axis_name = mesh.axis_names[0]
     n_dev = mesh.devices.size
     spec_f = pad_spec_for_devices(spec_f, n_dev)
-    spec_b = spec_b.replace(dims=spec_f.dims)
+    spec_b = spec_b.replace(dims=spec_f.dims, clamp_nx=spec_f.clamp_nx)
     nxl = spec_f.dims[0] // n_dev
     nyz = int(np.prod(spec_f.dims[1:]))
 

@@ -160,7 +160,7 @@ class TriMesh:
         )
 
 
-@dataclasses.dataclass(frozen=True)
+@dataclasses.dataclass(frozen=True, eq=False)
 class VoxelSdf:
     """Discretized signed-distance field on a regular grid (trilinear).
 
@@ -171,12 +171,40 @@ class VoxelSdf:
     (`fluids_pipeline.rs:192-255`). Outside the grid box the clamped
     border value plus the distance to the box is returned, so projection
     directions stay sane far away.
+
+    ``values`` is held as a read-only ndarray and hashed once by digest:
+    a ~resolution^3 Python tuple as a static jit argument would be
+    re-hashed on every dynamic-coupling step.
     """
 
-    values: Tuple[float, ...]  # flattened row-major [nx * ny * nz]
+    values: object  # read-only float32 ndarray, flattened row-major
     origin: Tuple[float, float, float]
     spacing: float
     shape: Tuple[int, int, int]
+
+    def __post_init__(self):
+        import hashlib
+
+        import numpy as np
+
+        v = np.ascontiguousarray(
+            np.asarray(self.values, np.float32).reshape(-1)
+        )
+        v.setflags(write=False)
+        object.__setattr__(self, "values", v)
+        key = (
+            hashlib.sha1(v.tobytes()).digest(),
+            tuple(self.origin),
+            float(self.spacing),
+            tuple(self.shape),
+        )
+        object.__setattr__(self, "_key", key)
+
+    def __eq__(self, other):
+        return isinstance(other, VoxelSdf) and self._key == other._key
+
+    def __hash__(self):
+        return hash(self._key)
 
     def sdf(self, p):
         vals = jnp.asarray(self.values, jnp.float32).reshape(self.shape)

@@ -192,9 +192,9 @@ class DenseCtx:
             if self.sparse_b:
                 # Boundary side compact (walls/floors occupy few cells):
                 # boundary-owner passes run over A_b occupied columns; the
-                # fb hoist flips to boundary-owner blocks and scatters the
-                # per-fluid sums back into the full grid (see
-                # ``_hoist_fb_sparse``).
+                # compact boundary arrays are rematerialized onto the full
+                # grid once (a few small scatters, below) so fluid-owner
+                # fb reads stay cheap roll views.
                 a_b = max(
                     64,
                     min(
@@ -233,9 +233,11 @@ class DenseCtx:
                 self._fluid_cols = fluid_cols
                 self._b_active = active
                 self._b_is_void = is_void
-                # Solver-internal fb passes are flipped to boundary-owner
-                # blocks (``_hoist_fb_sparse`` / ``boundary_forces``); the
-                # fluid-owner jfb view is only kept for generality.
+                # Solver-internal fb hoists read the rematerialized
+                # full-grid boundary arrays via roll views; the
+                # boundary-owner feedback pass (``boundary_forces``) uses
+                # the compact columns. The fluid-owner jfb view is kept
+                # for generality.
                 self.jfb = lambda arr, o: dg.shift_j(spec_f, arr, offs[o])
 
                 def jbf(arr, o):
@@ -264,10 +266,10 @@ class DenseCtx:
         self.uniform = getattr(sim, "uniform_particles", None)
         if self.uniform is not None:
             # Constant channels derived from the mask — no scatters.
-            m0, rho0 = self.uniform
+            fid, m0, rho0 = self.uniform
             self.M = self.maskf * jnp.float32(m0)
             self.R0 = jnp.where(self.live, jnp.float32(rho0), 1.0)
-            self.FID = jnp.where(self.live, 0, -1).astype(jnp.int32)
+            self.FID = jnp.where(self.live, int(fid), -1).astype(jnp.int32)
         else:
             self.M = dg.to_grid(self.sf, self.binf, fluids.masses)
             self.R0 = dg.to_grid(
@@ -603,7 +605,7 @@ class DenseCtx:
     def vol_grid(self, fluids):
         """Particle volumes in grid layout (mask-derived when uniform)."""
         if self.uniform is not None:
-            m0, rho0 = self.uniform
+            _fid, m0, rho0 = self.uniform
             return self.maskf * jnp.float32(m0 / rho0)
         return self.to_f(fluids.volumes)
 

@@ -780,16 +780,23 @@ class LiquidWorld:
         return sim
 
     def _uniform_particles(self):
-        """(mass, density0) when all live particles provably share them —
-        one non-removed fluid record (particle volume/mass/density0 are
-        record-derived constants) — else None. Enables the dense path's
-        scatter-free constant channels (config.uniform_particles)."""
-        live = [r for r in self._fluid_records if not r.removed]
+        """(handle, mass, density0) when all live particles provably share
+        them — one non-removed fluid record (particle volume/mass/density0
+        are record-derived constants) — else None. Enables the dense path's
+        scatter-free constant channels (config.uniform_particles). The
+        handle is carried so FID resolves to the *surviving* record: force
+        coefficient tuples are indexed by record index including removed
+        records."""
+        live = [
+            (h, r)
+            for h, r in enumerate(self._fluid_records)
+            if not r.removed
+        ]
         if len(live) != 1:
             return None
-        rec = live[0]
+        handle, rec = live[0]
         m0 = particle_volume(rec.particle_radius, self.dim) * rec.density0
-        return (float(m0), float(rec.density0))
+        return (int(handle), float(m0), float(rec.density0))
 
     def _boundary_volume_mode(self, sim: SimConfig, coupling) -> SimConfig:
         """Skip the boundary-volume pair pass on steps where no boundary

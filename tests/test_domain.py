@@ -99,12 +99,23 @@ def test_sharded_matches_single_device(np_forces):
     assert int(ds.neighbor_overflow) == int(d1.neighbor_overflow) == 0
 
 
-def test_sharded_iisph_matches_single_device():
+@pytest.mark.parametrize(
+    "np_forces",
+    [
+        pytest.param((), id="pressure-only"),
+        # Multi-stage force under IISPH: exchanges normals mid-force via
+        # DenseFields.halo (regression: the halo was once dropped on the
+        # IISPH dense path, silently diverging at slab borders).
+        pytest.param((forces.Akinci2013SurfaceTension(1.0, 0.5),),
+                     id="akinci"),
+    ],
+)
+def test_sharded_iisph_matches_single_device(np_forces):
     """The second pressure solver under domain decomposition: the Jacobi
     pressure iterate's ghost layers are exchanged per iteration."""
     from salva_tpu.config import IISPHConfig
 
-    world, _ = _world_3d(solver=IISPHConfig())
+    world, _ = _world_3d(np_forces, solver=IISPHConfig())
     mesh = make_mesh(8, axis_name="x")
     sharded = get_jitted_sharded_step_fn(
         world.sim, world.solver_config, world._force_set, 1, mesh

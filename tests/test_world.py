@@ -215,3 +215,45 @@ def test_adaptive_cfl_uses_speed_norm():
     expected = 2.0 * RADIUS / 5.0 * tm.cfl_coeff
     expected = min(max(expected, dt / tm.max_num_substeps), dt)
     assert tm.dt == pytest.approx(expected, rel=1e-5)
+
+
+def test_dense_forces_survive_remove_fluid():
+    """After remove_fluid(0), the surviving fluid's non-pressure force
+    coefficients must still resolve on the dense path: per-fluid
+    coefficient tuples are indexed by record handle (including removed
+    records), so the uniform-channel FID must carry the survivor's
+    handle, not 0."""
+    from salva_tpu import forces
+
+    def build(with_force):
+        world = LiquidWorld(
+            particle_radius=RADIUS, dim=2, neighbors=NEIGHBORS,
+            domain=((-1.2, -0.2), (1.2, 1.5)), layout="dense",
+        )
+        f0 = world.add_fluid(
+            Fluid(cube_positions(3, RADIUS, 2, origin=(0.6, 0.1)),
+                  density0=1000.0)
+        )
+        np_forces = (
+            [forces.XSPHViscosity(0.9, 0.0)] if with_force else []
+        )
+        f1 = world.add_fluid(
+            Fluid(cube_positions(6, RADIUS, 2, origin=(-0.9, 0.02)),
+                  density0=1000.0, nonpressure_forces=np_forces)
+        )
+        world.add_boundary(Boundary(_box_walls_2d(RADIUS)))
+        world.remove_fluid(f0)
+        return world, f1
+
+    wa, fa = build(True)
+    assert wa._uniform_particles()[0] == fa
+    wb, fb = build(False)
+    for _ in range(3):
+        wa.step(1.0 / 200.0, (0.0, -9.81))
+        wb.step(1.0 / 200.0, (0.0, -9.81))
+    pa = wa.fluid_positions(fa)
+    pb = wb.fluid_positions(fb)
+    assert not np.allclose(pa, pb), (
+        "viscosity on the surviving fluid had no effect: dense-path "
+        "coefficients resolved to the removed fluid's entries"
+    )
