@@ -37,7 +37,9 @@ def main():
     target_n = int(os.environ.get("BENCH_N", "100000"))
     steps = int(os.environ.get("BENCH_STEPS", "20"))
     layout = os.environ.get("BENCH_LAYOUT", "auto")
-    dense_cap = int(os.environ.get("BENCH_CAP", "12"))
+    # Default: auto-sized cap tier from measured occupancy ({8,16}).
+    cap_env = os.environ.get("BENCH_CAP", "")
+    dense_cap = int(cap_env) if cap_env else None
     n_side = max(2, round(target_n ** (1.0 / 3.0)))
 
     radius = 0.05
@@ -59,10 +61,10 @@ def main():
         neighbors=nb,
         domain=domain,
         layout=layout,
-        # Box surfaces at 2r spacing put ~4-8 boundary particles in an
-        # h-wide cell; 16 gives headroom (overflow is surfaced in diag).
+        # Caps auto-size from measured occupancy unless BENCH_CAP is set
+        # (overflow is surfaced in diag and asserted below).
         dense_cap=dense_cap,
-        dense_cap_boundary=16,
+        dense_cap_boundary=None,
     )
     if os.environ.get("BENCH_FROZEN"):
         world.sim = world.sim.replace(
@@ -104,12 +106,22 @@ def main():
         world.step(dt, gravity)
     fence()
 
+    # Keep per-step diagnostics as device arrays during timing (no host
+    # sync); fetched after the window so the JSON can report iteration
+    # counts — the step cost is ~linear in them, and round-over-round
+    # comparability requires matching them (VERDICT r2 #4).
+    iters_log = []
     t0 = time.perf_counter()
     for _ in range(steps):
         world.step(dt, gravity)
+        d = world.last_diagnostics
+        iters_log.append((d.solver.pressure_iters,
+                          d.solver.divergence_iters))
     fence()
     elapsed = time.perf_counter() - t0
     diag = world.last_diagnostics
+    p_iters = [int(p) for p, _ in iters_log]
+    d_iters = [int(dv) for _, dv in iters_log]
 
     if os.environ.get("BENCH_DEBUG"):
         import sys
@@ -139,6 +151,12 @@ def main():
                 "value": pps,
                 "unit": "particle-steps/s",
                 "vs_baseline": pps / 1.0e8,
+                "ms_per_step": elapsed / steps * 1e3,
+                "pressure_iters": sum(p_iters),
+                "divergence_iters": sum(d_iters),
+                "iters_per_step": [
+                    [p, dv] for p, dv in zip(p_iters, d_iters)
+                ],
             }
         )
     )

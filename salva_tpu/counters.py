@@ -1,15 +1,31 @@
 """Performance counters.
 
-Mirrors the structure of ``src/counters/``: a `Counters` aggregate with
-stage counters (collision detection vs solver), CD counters (grid, search)
-and solver counters, all backed by wall-clock `Timer`s that are inert
-unless enabled (`counters/mod.rs:55-62`, `timer.rs:13-19`).
+Plays the role of ``src/counters/`` (`counters/mod.rs:16-83`,
+`timer.rs:13-19`): wall-clock timers that are inert unless enabled, plus
+contact/substep counts, printable as a profiling block.
 
-On TPU the *device-side* stage breakdown additionally comes from
-`jax.profiler` traces and the on-device `StepDiagnostics`; these
-host-side timers measure dispatch-to-completion wall time (the world
-block-waits on results when counters are enabled so the numbers are
-meaningful).
+The reference times every *stage* of its step loop
+(`liquid_world.rs:88-147`: grid insertion, neighborhood search, pressure
+resolution, ...). Here the whole substep is ONE fused XLA program — those
+stages have no host-observable boundaries, so per-stage host timers
+cannot exist and are deliberately absent. The timers below measure the
+REAL dispatch boundaries of this architecture:
+
+- ``step_time``          — the full ``LiquidWorld.step`` wall time
+  (block-waited when counters are enabled, so it is meaningful);
+- ``dispatch_time``      — host time spent dispatching the jitted substep
+  programs (tracing/cache lookup/argument transfer);
+- ``cd.boundary_update_time``   — coupling boundary resampling
+  (`fluids_pipeline.rs:147-258`'s role);
+- ``coupling_transmit_time``    — boundary-force fetch + body impulse
+  application (`fluids_pipeline.rs:263-287`'s role);
+- ``fetch_time``         — the end-of-step device sync.
+
+The *device-side* stage breakdown (pair passes, solver iterations,
+layout shuffle) comes from ``jax.profiler`` traces and the in-repo A/B
+harness ``tools/profile_stages.py``; per-step solver iteration counts and
+error norms are returned on-device in ``StepDiagnostics`` every step —
+richer than the reference's host timers for those stages.
 """
 
 from __future__ import annotations
@@ -41,24 +57,10 @@ class Timer:
         return f"{self.time * 1000.0:.2f}ms"
 
 
-class StagesCounters:
-    def __init__(self):
-        self.collision_detection_time = Timer()
-        self.solver_time = Timer()
-
-
 class CollisionDetectionCounters:
     def __init__(self):
         self.ncontacts = 0
-        self.grid_insertion_time = Timer()
         self.boundary_update_time = Timer()
-        self.neighborhood_search_time = Timer()
-
-
-class SolverCounters:
-    def __init__(self):
-        self.pressure_resolution_time = Timer()
-        self.non_pressure_resolution_time = Timer()
 
 
 class Counters:
@@ -68,22 +70,20 @@ class Counters:
         self.enabled = False
         self.nsubsteps = 0
         self.step_time = Timer()
+        self.dispatch_time = Timer()
+        self.coupling_transmit_time = Timer()
+        self.fetch_time = Timer()
         self.custom = Timer()
-        self.stages = StagesCounters()
         self.cd = CollisionDetectionCounters()
-        self.solver = SolverCounters()
 
     def _timers(self):
         return [
             self.step_time,
+            self.dispatch_time,
+            self.coupling_transmit_time,
+            self.fetch_time,
             self.custom,
-            self.stages.collision_detection_time,
-            self.stages.solver_time,
-            self.cd.grid_insertion_time,
             self.cd.boundary_update_time,
-            self.cd.neighborhood_search_time,
-            self.solver.pressure_resolution_time,
-            self.solver.non_pressure_resolution_time,
         ]
 
     def enable(self):
@@ -104,9 +104,13 @@ class Counters:
     def __str__(self):
         return (
             f"Total timestep time: {self.step_time}\n"
-            f"|_ collision detection: {self.stages.collision_detection_time}\n"
-            f"|_ solver: {self.stages.solver_time}\n"
-            f"   |_ pressure resolution: {self.solver.pressure_resolution_time}\n"
+            f"|_ boundary update (coupling): {self.cd.boundary_update_time}\n"
+            f"|_ substep dispatch: {self.dispatch_time}\n"
+            f"|_ coupling force transmit: {self.coupling_transmit_time}\n"
+            f"|_ device sync (fetch): {self.fetch_time}\n"
             f"ncontacts: {self.cd.ncontacts}\n"
-            f"nsubsteps: {self.nsubsteps}"
+            f"nsubsteps: {self.nsubsteps}\n"
+            "(device-side stage breakdown: jax.profiler / "
+            "tools/profile_stages.py; solver iterations/errors: "
+            "StepDiagnostics)"
         )

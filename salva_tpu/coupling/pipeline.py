@@ -27,6 +27,7 @@ class FluidsPipeline:
         neighbors: Optional[NeighborConfig] = None,
         domain=None,
         layout: str = "auto",
+        device_coupling: Optional[bool] = None,
     ):
         self.liquid_world = LiquidWorld(
             solver=solver if solver is not None else DFSPHConfig(),
@@ -39,10 +40,48 @@ class FluidsPipeline:
         )
         self.bodies = RigidBodyWorld(dim)
         self.coupling = ColliderCouplingSet(self.bodies)
+        # ``device_coupling``: None = auto (device-resident rigid bodies +
+        # coupling on accelerators — zero host round trips per substep,
+        # the measured fix for tunnel-latency-bound coupled scenes);
+        # True/False force either path.
+        self._device_request = device_coupling
+        self._device = None
+
+    def _maybe_device(self):
+        if self._device is not None:
+            return self._device
+        use = self._device_request
+        if use is None:
+            import jax
+
+            use = jax.default_backend() != "cpu"
+        if use:
+            from .device_pipeline import DeviceColliderCoupling
+
+            self._device = DeviceColliderCoupling(
+                self.coupling, self.liquid_world
+            )
+        else:
+            self._device = False
+        return self._device
 
     def step(self, gravity, dt: float):
         """Advance bodies then fluids-with-coupling
         (`fluids_pipeline.rs:48-61`; body integration is rapier's job in the
         reference, done by the testbed around the fluid step)."""
-        self.bodies.step(dt, gravity)
-        self.liquid_world.step_with_coupling(dt, gravity, self.coupling)
+        dev = self._maybe_device()
+        if dev:
+            # Body integration happens inside the device coupling's
+            # pre-step (one fused dispatch, no host round trips).
+            dev.set_gravity(gravity)
+            self.liquid_world.step_with_coupling(dt, gravity, dev)
+        else:
+            self.bodies.step(dt, gravity)
+            self.liquid_world.step_with_coupling(dt, gravity, self.coupling)
+
+    def sync_bodies(self):
+        """Bring host RigidBody poses up to date with the device state
+        (no-op on the host path)."""
+        if self._device:
+            self._device.sync_to_host()
+        return self.bodies

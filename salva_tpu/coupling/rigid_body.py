@@ -246,9 +246,17 @@ class RigidBodyWorld:
         if b.is_dynamic:
             m, i = shape_mass_properties(shape, density, self.dim)
             b.mass += m
-            # Parallel-axis terms are ignored for multi-collider bodies
-            # (example scenes attach at most one dynamic collider).
-            b.inertia = b.inertia + i
+            # Rotate the collider inertia into the body frame and add the
+            # parallel-axis term for its local offset (diagonal
+            # approximation; the body origin stands in for the center of
+            # mass, exact for symmetric collider sets).
+            if self.dim == 2:
+                b.inertia = b.inertia + i + m * float(np.dot(lt, lt))
+            else:
+                i_rot = np.diag(lr @ np.diag(i) @ lr.T).astype(np.float32)
+                d2 = float(np.dot(lt, lt))
+                pa = m * (d2 - lt * lt)
+                b.inertia = b.inertia + i_rot + pa.astype(np.float32)
         return len(self.colliders) - 1
 
     def collider_pose(self, collider_id: int) -> Tuple[np.ndarray, np.ndarray]:
@@ -271,16 +279,16 @@ class RigidBodyWorld:
     contact_slop: float = 1.0e-4
 
     def step(self, dt: float, gravity):
-        """Integrate body motion with contact resolution against static
-        geometry.
+        """Integrate body motion with contact resolution.
 
         In the reference, rapier resolves body<->body and body<->static
         contacts around the fluid step (e.g. `examples3d/basic3.rs:43-116`:
-        dropped cuboids/balls rest on the ground and walls). This plays
-        that role for the subset the example scenes need: impulse-based
-        contacts of each *dynamic* collider against all *fixed-body*
-        colliders (sequential impulses + friction, then position
-        projection). Dynamic-dynamic pairs are not resolved.
+        dropped cuboids/balls rest on the ground and walls;
+        `examples2d/basic2.rs:105-131` drops three dynamic bodies that
+        stack). This plays that role: impulse-based contacts of each
+        *dynamic* collider against all *fixed-body* colliders AND against
+        every other dynamic collider (sample-vs-SDF both ways, sequential
+        impulses on both bodies + friction, then position projection).
         """
         gravity = np.asarray(gravity, np.float32)
         for b in self.bodies:
@@ -329,9 +337,12 @@ class RigidBodyWorld:
         return c._contact_samples
 
     def _find_contacts(self, margin: float = 0.0):
-        """(body, point, normal, depth) of every penetrating sample of a
-        dynamic collider against a fixed-body collider. Normals point out
-        of the static shape (the push direction)."""
+        """(body_a, body_b, point, normal, depth) of every penetrating
+        sample of a dynamic collider against another collider's shape.
+        ``body_b`` is None for fixed-body colliders. Normals point out of
+        the OTHER shape (the direction that pushes ``body_a`` free).
+        Dynamic pairs are tested sample-vs-SDF both ways (rapier's role
+        in `examples2d/basic2.rs:105-131`: dropped bodies stack)."""
         from .. import shapes as shp
 
         static_ids = [
@@ -344,12 +355,12 @@ class RigidBodyWorld:
             for i, c in enumerate(self.colliders)
             if self.bodies[c.body].is_dynamic
         ]
-        if not static_ids or not dynamic_ids:
+        if not dynamic_ids:
             return []
-        # Concatenate every dynamic collider's samples so each static
+        # Concatenate every dynamic collider's samples so each target
         # collider costs ONE device query (round trips dominate on
         # remote backends).
-        pts_parts, owner_parts = [], []
+        pts_parts, owner_parts, cid_parts = [], [], []
         for cd_id in dynamic_ids:
             cd = self.colliders[cd_id]
             body = self.bodies[cd.body]
@@ -359,20 +370,28 @@ class RigidBodyWorld:
                 .astype(np.float32)
             )
             owner_parts.append(np.full(len(local), cd.body, np.int64))
+            cid_parts.append(np.full(len(local), cd_id, np.int64))
         all_pts = np.concatenate(pts_parts)
         owners = np.concatenate(owner_parts)
+        sample_cid = np.concatenate(cid_parts)
 
         contacts = []
-        for cs_id in static_ids:
-            cs = self.colliders[cs_id]
-            R, t = self.collider_pose(cs_id)
-            _, d, n = shp.project_point(cs.shape, all_pts, R, t)
+        for ct_id in static_ids + dynamic_ids:
+            ct = self.colliders[ct_id]
+            target_body = self.bodies[ct.body]
+            R, t = self.collider_pose(ct_id)
+            _, d, n = shp.project_point(ct.shape, all_pts, R, t)
             d = np.asarray(d)
             n = np.asarray(n)
-            for i in np.where(d < margin)[0]:
+            hit = d < margin
+            if target_body.is_dynamic:
+                # Skip the collider's own samples and same-body pairs.
+                hit = hit & (owners != ct.body) & (sample_cid != ct_id)
+            for i in np.where(hit)[0]:
                 contacts.append(
                     (
                         self.bodies[owners[i]],
+                        target_body if target_body.is_dynamic else None,
                         all_pts[i],
                         n[i].astype(np.float32),
                         float(-d[i]),
@@ -390,18 +409,35 @@ class RigidBodyWorld:
         iw = R @ (b._inv_inertia() * (R.T @ rn))
         return b.inv_mass + float(np.dot(np.cross(iw, r), axis))
 
+    def _rel_velocity(self, a, b, p):
+        v = a.velocity_at_point(p)
+        if b is not None:
+            v = v - b.velocity_at_point(p)
+        return v
+
+    def _pair_effective_mass(self, a, b, p, axis):
+        k = self._effective_mass(a, p - a.translation, axis)
+        if b is not None:
+            k += self._effective_mass(b, p - b.translation, axis)
+        return k
+
+    def _apply_pair_impulse(self, a, b, imp, p):
+        a.apply_impulse_at_point(imp, p)
+        if b is not None:
+            b.apply_impulse_at_point(-imp, p)
+
     def _solve_contact_velocities(self, contacts):
         """Sequential impulses with accumulated-impulse clamping and a
-        Coulomb friction cone."""
+        Coulomb friction cone; two-body contacts apply equal/opposite
+        impulses."""
         if not contacts:
             return
         acc_n = [0.0] * len(contacts)
         for _ in range(self.contact_iterations):
-            for ci, (b, p, n, _depth) in enumerate(contacts):
-                r = p - b.translation
-                v = b.velocity_at_point(p)
+            for ci, (a, b, p, n, _depth) in enumerate(contacts):
+                v = self._rel_velocity(a, b, p)
                 vn = float(np.dot(v, n))
-                kn = self._effective_mass(b, r, n)
+                kn = self._pair_effective_mass(a, b, p, n)
                 if kn <= 0.0:
                     continue
                 j = -(1.0 + self.restitution) * vn / kn
@@ -409,17 +445,17 @@ class RigidBodyWorld:
                 dj = new_acc - acc_n[ci]
                 acc_n[ci] = new_acc
                 if dj != 0.0:
-                    b.apply_impulse_at_point(dj * n, p)
-                # Friction: oppose the tangential velocity, clamped to
-                # mu * normal impulse per iteration (no tangent
+                    self._apply_pair_impulse(a, b, dj * n, p)
+                # Friction: oppose the tangential relative velocity,
+                # clamped to mu * normal impulse per iteration (no tangent
                 # accumulator — adequate for resting stacks).
                 if self.friction > 0.0 and acc_n[ci] > 0.0:
-                    v = b.velocity_at_point(p)
+                    v = self._rel_velocity(a, b, p)
                     vt = v - float(np.dot(v, n)) * n
                     vt_norm = float(np.linalg.norm(vt))
                     if vt_norm > 1.0e-6:
                         t = vt / vt_norm
-                        kt = self._effective_mass(b, r, t)
+                        kt = self._pair_effective_mass(a, b, p, t)
                         if kt > 0.0:
                             jt = -vt_norm / kt
                             jt = float(
@@ -429,24 +465,38 @@ class RigidBodyWorld:
                                     self.friction * acc_n[ci],
                                 )
                             )
-                            b.apply_impulse_at_point(jt * t, p)
+                            self._apply_pair_impulse(a, b, jt * t, p)
 
     def _project_positions(self, beta: float = 0.8, passes: int = 2):
         """Translate bodies out of residual penetration (depth beyond the
-        slop), a position-level Baumgarte correction."""
+        slop), a position-level Baumgarte correction. Two-body contacts
+        split the correction by inverse mass."""
         for _ in range(passes):
             contacts = self._find_contacts(margin=-self.contact_slop)
             if not contacts:
                 return
             push: dict = {}
-            for b, _p, n, depth in contacts:
-                key = id(b)
-                corr = (depth - self.contact_slop) * beta
+
+            def consider(body, corr, n):
+                if corr <= 0.0 or not body.is_dynamic:
+                    return
+                key = id(body)
                 best = push.get(key)
                 if best is None or corr > best[1]:
-                    push[key] = (b, corr, n)
-            for b, corr, n in push.values():
-                if corr > 0.0:
-                    b.translation = (
-                        b.translation + corr * n
-                    ).astype(np.float32)
+                    push[key] = (body, corr, n)
+
+            for a, b, _p, n, depth in contacts:
+                corr = (depth - self.contact_slop) * beta
+                if b is None:
+                    consider(a, corr, n)
+                else:
+                    wa, wb = a.inv_mass, b.inv_mass
+                    wsum = wa + wb
+                    if wsum <= 0.0:
+                        continue
+                    consider(a, corr * wa / wsum, n)
+                    consider(b, corr * wb / wsum, -n)
+            for body, corr, n in push.values():
+                body.translation = (
+                    body.translation + corr * n
+                ).astype(np.float32)

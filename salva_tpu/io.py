@@ -53,8 +53,10 @@ def save_world(world, path: str):
         "kernel_gradient": world.sim.kernel_gradient,
         "layout": world.sim.layout,
         "domain": world.sim.domain,
-        "dense_cap": world.sim.dense_cap,
-        "dense_cap_boundary": world.sim.dense_cap_boundary,
+        # Serialize the user's REQUEST (None = auto-size) rather than the
+        # resolved sim value so auto-capped worlds stay auto after load.
+        "dense_cap": world._dense_cap_request,
+        "dense_cap_boundary": world._dense_cap_boundary_request,
         "neighbors": dataclasses.asdict(world.sim.neighbors),
         "solver_kind": world.solver_config.kind,
         "solver": {
@@ -133,8 +135,8 @@ def load_world(path: str):
         n_substeps=meta["n_substeps"],
         layout=meta.get("layout", "auto"),
         domain=meta.get("domain"),
-        dense_cap=meta.get("dense_cap", 12),
-        dense_cap_boundary=meta.get("dense_cap_boundary", 24),
+        dense_cap=meta.get("dense_cap"),
+        dense_cap_boundary=meta.get("dense_cap_boundary"),
     )
     world.sim = world.sim.replace(
         kernel_density=meta["kernel_density"],

@@ -427,34 +427,37 @@ def faucet3(particle_radius: float = 0.0125) -> Scene:
 
     state = {"last_t": -1.0}
 
+    # Fixed emission template + stable deletion predicate: both execute
+    # on device through the alive mask (`world.emit_particles` /
+    # `world.delete_where`) — the callback does ZERO per-step host
+    # fetches of particle state (`faucet3.rs:69-105` emitter pattern).
+    nparticles, diam = 10, particle_radius * 2.0
+    shift = -nparticles * particle_radius
+    ij = np.stack(
+        np.meshgrid(np.arange(nparticles), np.arange(nparticles),
+                    indexing="ij"),
+        axis=-1,
+    ).reshape(-1, 2)
+    template = np.stack(
+        [
+            ij[:, 0] * diam + shift,
+            np.full(len(ij), 0.6, np.float32),
+            ij[:, 1] * diam + shift,
+        ],
+        axis=-1,
+    ).astype(np.float32)
+
+    def _fallen(positions, velocities):
+        return positions[:, 1] < -2.0
+
     def callback(scene, i, t):
         world = scene.world
-        # Delete fallen particles.
-        pos = world.fluid_positions(fl)
-        if len(pos):
-            below = np.where(pos[:, 1] < -2.0)[0]
-            if len(below):
-                world.delete_particles(fl, below)
+        world.delete_where(fl, _fallen)
         # Emit a new sheet every 0.06 s.
         if t - state["last_t"] < 0.06:
             return
         state["last_t"] = t
-        nparticles, diam = 10, particle_radius * 2.0
-        shift = -nparticles * particle_radius
-        ij = np.stack(
-            np.meshgrid(np.arange(nparticles), np.arange(nparticles),
-                        indexing="ij"),
-            axis=-1,
-        ).reshape(-1, 2)
-        pts = np.stack(
-            [
-                ij[:, 0] * diam + shift,
-                np.full(len(ij), 0.6, np.float32),
-                ij[:, 1] * diam + shift,
-            ],
-            axis=-1,
-        ).astype(np.float32)
-        world.add_particles(fl, pts, np.zeros_like(pts))
+        world.emit_particles(fl, template)
 
     return Scene(
         "faucet3", pip, (0.0, -9.81, 0.0), fluid_handles=[fl],

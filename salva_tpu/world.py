@@ -103,6 +103,63 @@ class _BoundaryRecord:
     removed: bool = False
 
 
+@jax.jit
+def _emit_kernel(st, pos, vel, vol, density0, handle, memberships, filt):
+    """Write an emission template into the first free slots (device-side
+    `Fluid::add_particles`, `fluid.rs:126-150`): rank free slots by
+    cumsum, invert the ranking into per-row target slots, scatter. Rows
+    beyond the free-slot count drop (surfaced by capacity warnings)."""
+    e = pos.shape[0]
+    n = st.alive.shape[0]
+    free = jnp.logical_not(st.alive)
+    rank = jnp.cumsum(free.astype(jnp.int32)) - 1
+    iota = jnp.arange(n, dtype=jnp.int32)
+    tgt = (
+        jnp.full((e + 1,), n, jnp.int32)
+        .at[jnp.where(free & (rank < e), rank, e)]
+        .set(iota, mode="drop")[:e]
+    )
+    full_vol = jnp.full((e,), vol, jnp.float32)
+    full_rho = jnp.full((e,), density0, jnp.float32)
+    return st.replace(
+        positions=st.positions.at[tgt].set(pos, mode="drop"),
+        velocities=st.velocities.at[tgt].set(vel, mode="drop"),
+        volumes=st.volumes.at[tgt].set(full_vol, mode="drop"),
+        density0=st.density0.at[tgt].set(full_rho, mode="drop"),
+        alive=st.alive.at[tgt].set(True, mode="drop"),
+        fluid_id=st.fluid_id.at[tgt].set(
+            jnp.full((e,), handle, jnp.int32), mode="drop"
+        ),
+        memberships=st.memberships.at[tgt].set(
+            jnp.full((e,), memberships, jnp.uint32), mode="drop"
+        ),
+        filter=st.filter.at[tgt].set(
+            jnp.full((e,), filt, jnp.uint32), mode="drop"
+        ),
+    )
+
+
+import functools as _functools
+
+
+@_functools.lru_cache(maxsize=64)
+def _delete_where_jit(predicate):
+    @jax.jit
+    def run(st, handle):
+        kill = (
+            jnp.asarray(predicate(st.positions, st.velocities), bool)
+            & st.alive
+            & (st.fluid_id == handle)
+        )
+        return st.replace(alive=st.alive & jnp.logical_not(kill))
+
+    return run
+
+
+def _delete_where_kernel(st, predicate, handle):
+    return _delete_where_jit(predicate)(st, handle)
+
+
 def _next_capacity(needed: int, minimum: int = 64) -> int:
     cap = minimum
     while cap < needed:
@@ -128,10 +185,19 @@ class LiquidWorld:
         adaptive_timestep: bool = False,
         domain=None,
         layout: str = "auto",
-        dense_cap: int = 12,
-        dense_cap_boundary: int = 24,
+        dense_cap: Optional[int] = None,
+        dense_cap_boundary: Optional[int] = None,
     ):
         self.solver_config = solver if solver is not None else DFSPHConfig()
+        # ``dense_cap(_boundary)=None`` auto-sizes the per-cell slot
+        # capacities from measured occupancy at first step (resolved in
+        # ``_effective_sim``; only {8, 16} are efficient fluid tiers on
+        # TPU — sublane padding makes 9..15 cost like 16). Explicit ints
+        # are honored unchanged.
+        self._dense_cap_request = dense_cap
+        self._dense_cap_boundary_request = dense_cap_boundary
+        self._auto_caps: Optional[tuple] = None
+        self._auto_caps_capacity = None
         self.sim = SimConfig(
             dim=dim,
             particle_radius=particle_radius,
@@ -144,8 +210,10 @@ class LiquidWorld:
                 if domain is not None
                 else None
             ),
-            dense_cap=dense_cap,
-            dense_cap_boundary=dense_cap_boundary,
+            dense_cap=dense_cap if dense_cap is not None else 12,
+            dense_cap_boundary=(
+                dense_cap_boundary if dense_cap_boundary is not None else 24
+            ),
         )
         self.counters = Counters()
         self.timestep_manager = TimestepManager(
@@ -269,6 +337,7 @@ class LiquidWorld:
         )
 
     def _alloc_fluid_slots(self, n: int) -> np.ndarray:
+        self._sync_fluid_mirrors()
         free = np.where(self._fluid_slot_owner < 0)[0]
         if len(free) < n:
             used = int((self._fluid_slot_owner >= 0).sum())
@@ -324,6 +393,7 @@ class LiquidWorld:
         return handle
 
     def remove_fluid(self, handle: int):
+        self._sync_fluid_mirrors()
         slots = np.where(self._fluid_slot_owner == handle)[0]
         self._release_fluid_slots(slots)
         self._fluid_records[handle].removed = True
@@ -407,6 +477,7 @@ class LiquidWorld:
     # -- particle-level API (emitters / deletion, `fluid.rs:71-150`) -------
 
     def fluid_slots(self, handle: int) -> np.ndarray:
+        self._sync_fluid_mirrors()
         return np.where(
             (self._fluid_slot_owner == handle) & self._fluid_alive
         )[0]
@@ -427,10 +498,62 @@ class LiquidWorld:
 
     def add_particles(self, handle: int, positions, velocities=None):
         """`Fluid::add_particles` (`fluid.rs:126-150`)."""
+        self._sync_fluid_mirrors()
         slots = self._write_fluid_particles(handle, positions, velocities)
         if self._has_elasticity(handle):
             self._elasticity_dirty = True
         return slots
+
+    # -- device-side emission / deletion ------------------------------------
+
+    def _sync_fluid_mirrors(self):
+        """Refresh the host slot mirrors after device-side emission or
+        deletion mutated the alive mask (one fetch, only when a host-side
+        slot operation actually needs the free list)."""
+        if not getattr(self, "_fluid_mirror_stale", False):
+            return
+        alive = np.asarray(self.fluids_state.alive)
+        fid = np.asarray(self.fluids_state.fluid_id)
+        self._fluid_alive = alive.copy()
+        self._fluid_slot_owner = np.where(alive, fid, -1).astype(np.int64)
+        self._fluid_mirror_stale = False
+
+    def emit_particles(self, handle: int, positions, velocities=None):
+        """Device-side `add_particles`: write a fixed emission template
+        into free slots WITHOUT any host round trip (the emitter pattern
+        of `examples3d/faucet3.rs:69-105`). Capacity must be reserved up
+        front (``reserve_fluid_capacity``); emissions beyond the free
+        slot count are dropped and surfaced by the overflow warning
+        machinery. Host slot mirrors are refreshed lazily."""
+        rec = self._fluid_records[handle]
+        pos = jnp.asarray(positions, jnp.float32)
+        vel = (
+            jnp.asarray(velocities, jnp.float32)
+            if velocities is not None
+            else jnp.zeros_like(pos)
+        )
+        vol = particle_volume(rec.particle_radius, self.dim)
+        self.fluids_state = _emit_kernel(
+            self.fluids_state, pos, vel, jnp.float32(vol),
+            jnp.float32(rec.density0), jnp.int32(handle),
+            jnp.uint32(rec.groups.memberships),
+            jnp.uint32(rec.groups.filter),
+        )
+        self._fluid_mirror_stale = True
+        if self._has_elasticity(handle):
+            self._elasticity_dirty = True
+
+    def delete_where(self, handle: int, predicate):
+        """Device-side predicate deletion: kill this fluid's particles
+        where ``predicate(positions, velocities) -> bool mask`` holds —
+        executed inside one dispatch via the alive mask (the deletion
+        half of the faucet emitter pattern). ``predicate`` must be a
+        stable jittable function (define it once, not per call, or every
+        call recompiles)."""
+        self.fluids_state = _delete_where_kernel(
+            self.fluids_state, predicate, jnp.int32(handle)
+        )
+        self._fluid_mirror_stale = True
 
     def delete_particles(self, handle: int, indices):
         """Delete particles by index within the fluid, immediately (the
@@ -759,6 +882,11 @@ class LiquidWorld:
             uniform = self._uniform_particles()
             if sim.uniform_particles != uniform:
                 sim = sim.replace(uniform_particles=uniform)
+            caps = self._resolved_dense_caps()
+            if (sim.dense_cap, sim.dense_cap_boundary) != caps:
+                sim = sim.replace(
+                    dense_cap=caps[0], dense_cap_boundary=caps[1]
+                )
         if sim.layout != "auto" or sim.domain is None:
             return sim
         mins, maxs = sim.domain
@@ -778,6 +906,58 @@ class LiquidWorld:
         if cells * sim.dense_cap > slot_limit:
             return sim.replace(layout="gather")
         return sim
+
+    def _max_cell_occupancy(self, positions, alive) -> int:
+        """Max particles per grid cell at the CURRENT state (host-side;
+        only run when auto cap resolution is (re)computed, never on the
+        per-step path)."""
+        pos = np.asarray(positions)[np.asarray(alive)]
+        if len(pos) == 0:
+            return 0
+        h = self.sim.h
+        mins = np.asarray(self.sim.domain[0], np.float64)
+        # Same origin rule as geometry.dense_grid.spec_for_aabb.
+        origin = mins - 2 * h
+        c = np.floor((pos - origin) / h).astype(np.int64)
+        c -= c.min(axis=0)
+        dims = c.max(axis=0) + 1
+        key = c[:, 0]
+        for axis in range(1, self.dim):
+            key = key * dims[axis] + c[:, axis]
+        _, counts = np.unique(key, return_counts=True)
+        return int(counts.max())
+
+    def _resolved_dense_caps(self):
+        """(dense_cap, dense_cap_boundary) with ``None`` requests
+        auto-sized from measured occupancy (SURVEY §2: HGrid sizing is
+        adaptive in the reference; here the static slot capacity is the
+        analog). Fluid tier is 8 when occupancy leaves headroom, else 16
+        (the only efficient TPU sublane tiers); boundary cap is the next
+        multiple of 8 above measured occupancy. Cached until the array
+        capacity changes or an overflow bump (``_warn_on_overflow``)."""
+        req_f = self._dense_cap_request
+        req_b = self._dense_cap_boundary_request
+        if req_f is not None and req_b is not None:
+            return (req_f, req_b)
+        cap_key = (self.fluids_state.capacity, self.boundaries_state.capacity)
+        if self._auto_caps is None or self._auto_caps_capacity != cap_key:
+            occ_f = self._max_cell_occupancy(
+                self.fluids_state.positions, self.fluids_state.alive
+            )
+            occ_b = self._max_cell_occupancy(
+                self.boundaries_state.positions, self.boundaries_state.alive
+            )
+            # Fluids compress transiently (dam-break impact): require
+            # headroom before picking the cheap tier.
+            cap_f = 8 if occ_f <= 5 else 16
+            cap_b = max(8, -(-(occ_b + 2) // 8) * 8)
+            self._auto_caps = (cap_f, cap_b)
+            self._auto_caps_capacity = cap_key
+        auto_f, auto_b = self._auto_caps
+        return (
+            req_f if req_f is not None else auto_f,
+            req_b if req_b is not None else auto_b,
+        )
 
     def _uniform_particles(self):
         """(handle, mass, density0) when all live particles provably share
@@ -854,6 +1034,7 @@ class LiquidWorld:
                 self.counters.cd.boundary_update_time.resume()
                 coupling.update_boundaries(self, sub_dt)
                 self.counters.cd.boundary_update_time.pause()
+            self.counters.dispatch_time.resume()
             (
                 self.fluids_state,
                 self.boundaries_state,
@@ -867,12 +1048,17 @@ class LiquidWorld:
                 sub_dt,
                 gravity,
             )
+            self.counters.dispatch_time.pause()
             if coupling is not None:
+                self.counters.coupling_transmit_time.resume()
                 coupling.transmit_forces(self, sub_dt)
+                self.counters.coupling_transmit_time.pause()
             self.counters.nsubsteps += 1
 
         if self.counters.enabled:
+            self.counters.fetch_time.resume()
             jax.block_until_ready(self.fluids_state.positions)
+            self.counters.fetch_time.pause()
             if self.last_diagnostics is not None:
                 self.counters.cd.ncontacts = int(
                     self.last_diagnostics.ncontacts_ff
@@ -900,7 +1086,14 @@ class LiquidWorld:
             return
         n_over = int(d.neighbor_overflow)
         c_over = int(d.candidate_overflow)
-        if n_over > 0:
+        if n_over > 0 and self._bump_auto_dense_cap():
+            warnings.warn(
+                f"neighbor capacity overflow: {n_over} entries dropped — "
+                "auto-raised dense_cap to 16 for subsequent steps "
+                "(transient compression exceeded the measured-occupancy "
+                "tier)"
+            )
+        elif n_over > 0:
             warnings.warn(
                 f"neighbor capacity overflow: {n_over} entries dropped — "
                 "physics degraded; raise max_neighbors / dense_cap"
@@ -911,6 +1104,21 @@ class LiquidWorld:
                 "clamped or candidates truncated); enlarge the domain or "
                 "max_candidates"
             )
+
+    def _bump_auto_dense_cap(self) -> bool:
+        """Self-healing for auto cap sizing: when overflow appears on the
+        cheap cap=8 tier, move to 16 (the next efficient tier) instead of
+        warning the user into hand-tuning. Returns True when a bump was
+        applied."""
+        if self._dense_cap_request is not None:
+            return False
+        if self.sim.domain is None or self._auto_caps is None:
+            return False
+        cap_f, cap_b = self._auto_caps
+        if cap_f >= 16:
+            return False
+        self._auto_caps = (16, cap_b)
+        return True
 
     def _maybe_warn_gather_on_accelerator(self, sim_eff: SimConfig):
         """The `[N, K]` gather layout is measured ~2 orders of magnitude
@@ -945,10 +1153,13 @@ class LiquidWorld:
         d = self.last_diagnostics
         if d is not None:
             if int(d.neighbor_overflow) > 0:
+                bumped = self._bump_auto_dense_cap()
                 warnings.warn(
                     f"neighbor capacity overflow: {int(d.neighbor_overflow)}"
-                    " entries dropped — physics degraded; raise "
-                    "max_neighbors / dense_cap"
+                    " entries dropped — "
+                    + ("auto-raised dense_cap to 16 for subsequent steps"
+                       if bumped else
+                       "physics degraded; raise max_neighbors / dense_cap")
                 )
             if int(d.candidate_overflow) > 0:
                 warnings.warn(
@@ -970,6 +1181,8 @@ class LiquidWorld:
         """Reorder fluid particles in Morton order for gather locality
         (`Fluid::z_sort`, `fluid.rs:153-163`; dead slots sort last)."""
         from .geometry.grid import DEAD_KEY, cell_coords, morton_key
+
+        self._sync_fluid_mirrors()
 
         fl = self.fluids_state
         keys = morton_key(cell_coords(fl.positions, self.h), self.dim)
@@ -1002,6 +1215,7 @@ class LiquidWorld:
     def particles_intersecting_aabb(self, mins, maxs):
         """Particle ids near an AABB (loosened by the particle radius),
         `liquid_world.rs:211-246`. Returns (kind, handle, index) tuples."""
+        self._sync_fluid_mirrors()
         mins = np.asarray(mins)
         maxs = np.asarray(maxs)
         out = []
@@ -1030,6 +1244,8 @@ class LiquidWorld:
     def particles_intersecting_shape(self, shape, rotation, translation):
         """Particle ids near a posed SDF shape (`liquid_world.rs:248-280`)."""
         from .shapes import TriMesh, world_sdf
+
+        self._sync_fluid_mirrors()
 
         if isinstance(shape, TriMesh):
             from .sampling.voxelize import trimesh_sdf

@@ -257,3 +257,108 @@ def test_dense_forces_survive_remove_fluid():
         "viscosity on the surviving fluid had no effect: dense-path "
         "coefficients resolved to the removed fluid's entries"
     )
+
+
+def test_auto_dense_cap_resolution():
+    """dense_cap=None auto-sizes the slot tiers from measured occupancy
+    ({8,16} fluid tiers; boundary cap = next multiple of 8) and bumps
+    8 -> 16 when overflow shows up."""
+    world = LiquidWorld(
+        particle_radius=RADIUS, dim=2, neighbors=NEIGHBORS,
+        domain=((-1.2, -0.2), (1.2, 1.5)), layout="dense",
+    )
+    # Sparse fluid: h = 4r cells, particles 8r apart -> occupancy 1.
+    xs = np.arange(-0.9, 0.9, 8 * RADIUS, dtype=np.float32)
+    pos = np.stack([xs, np.full_like(xs, 0.5)], axis=-1)
+    world.add_fluid(Fluid(pos, density0=1000.0))
+    world.add_boundary(Boundary(_box_walls_2d(RADIUS)))
+
+    sim = world._effective_sim()
+    assert sim.dense_cap == 8
+    assert sim.dense_cap_boundary % 8 == 0
+    # Overflow bump: the cheap tier self-heals to 16.
+    assert world._bump_auto_dense_cap()
+    assert world._effective_sim().dense_cap == 16
+    assert not world._bump_auto_dense_cap()
+
+    # Dense packing (2r spacing in h = 4r cells -> 4 per cell in 2D,
+    # but 3D-style stacks of 8 happen at impact; threshold is <= 5).
+    world2 = LiquidWorld(
+        particle_radius=RADIUS, dim=2, neighbors=NEIGHBORS,
+        domain=((-1.2, -0.2), (1.2, 1.5)), layout="dense",
+    )
+    dense_pos = cube_positions(10, RADIUS / 2, 2, origin=(-0.2, 0.3))
+    world2.add_fluid(Fluid(dense_pos, density0=1000.0))
+    world2.add_boundary(Boundary(_box_walls_2d(RADIUS)))
+    assert world2._effective_sim().dense_cap == 16
+
+    # Explicit requests are honored unchanged.
+    world3 = LiquidWorld(
+        particle_radius=RADIUS, dim=2, neighbors=NEIGHBORS,
+        domain=((-1.2, -0.2), (1.2, 1.5)), layout="dense",
+        dense_cap=12, dense_cap_boundary=24,
+    )
+    world3.add_fluid(Fluid(pos, density0=1000.0))
+    assert world3._effective_sim().dense_cap == 12
+    assert world3._effective_sim().dense_cap_boundary == 24
+    assert not world3._bump_auto_dense_cap()
+
+
+def test_counters_report_dispatch_boundaries():
+    """Every surviving Counters timer reports non-zero after an enabled
+    step (`counters/mod.rs:16-83` role; per-XLA-stage timers are
+    documented as impossible and absent)."""
+    world, fluid, _ = _dam_break_world(DFSPHConfig())
+    world.counters.enable()
+    world.step(1.0 / 200.0, (0.0, -9.81))
+    c = world.counters
+    assert c.step_time.time > 0.0
+    assert c.dispatch_time.time > 0.0
+    assert c.fetch_time.time >= 0.0
+    assert c.nsubsteps == 1
+    assert c.cd.ncontacts > 0
+    s = str(c)
+    assert "dispatch" in s and "ncontacts" in s
+
+
+def test_device_emit_and_delete_where():
+    """Device-side emitter ops (`fluid.rs:71-150` roles): emit_particles
+    fills free slots without host allocation; delete_where kills by
+    predicate via the alive mask; host mirrors resync lazily and match
+    the device state."""
+    world = LiquidWorld(particle_radius=RADIUS, dim=2, neighbors=NEIGHBORS)
+    fl = world.add_fluid(
+        Fluid(cube_positions(4, RADIUS, 2, origin=(-0.3, 0.1)),
+              density0=1000.0)
+    )
+    world.add_boundary(Boundary(_box_walls_2d(RADIUS)))
+    world.reserve_fluid_capacity(64)
+    n0 = len(world.fluid_positions(fl))
+
+    template = np.array([[0.5, 1.0], [0.6, 1.0], [0.7, 1.0]], np.float32)
+    world.emit_particles(fl, template)
+    pos = world.fluid_positions(fl)
+    assert len(pos) == n0 + 3
+    # Emitted rows carry the record's volume/density (non-zero mass).
+    vols = np.asarray(world.fluids_state.volumes)[
+        np.asarray(world.fluids_state.alive)
+    ]
+    assert (vols > 0).all()
+
+    # Predicate deletion: everything right of x = 0.4 (the emitted rows).
+    def _right(p, v):
+        return p[:, 0] > 0.4
+
+    world.delete_where(fl, _right)
+    assert len(world.fluid_positions(fl)) == n0
+
+    # The world still steps after device-side slot churn.
+    world.step(1.0 / 200.0, (0.0, -9.81))
+    assert np.isfinite(world.fluid_positions(fl)).all()
+
+    # Emission beyond free capacity drops instead of corrupting.
+    big = np.zeros((world.fluids_state.capacity + 8, 2), np.float32)
+    world.emit_particles(fl, big)
+    assert int(np.asarray(world.fluids_state.alive).sum()) == (
+        world.fluids_state.capacity
+    )
