@@ -113,6 +113,23 @@ class SimConfig:
     # Static simulation domain ((mins...), (maxs...)) enabling the dense
     # layout. Particles leaving the box are clamped to its border cells.
     domain: Optional[tuple] = None
+    # Fluid-tracking grid WINDOW (cells per axis), set automatically by
+    # the world (LiquidWorld.fit_grid): the dense grid covers a window of
+    # these STATIC dims whose ORIGIN is computed on-device each substep
+    # from the live fluid bounding box (quantized to the domain cell
+    # lattice, clamped inside the domain). Every per-cell cost
+    # (pair-pass folds, hoists, iteration passes) scales with the grid
+    # cell count, and a dam-break domain is mostly air — measured 23%
+    # occupancy at 97k vs 59-70% inside a fluid-fitted box
+    # (tools/exp_occupancy.py). A translating fluid (falling dam break)
+    # costs NOTHING: the traced origin follows it without recompiling;
+    # only window GROWTH (extent approaching the static dims) triggers a
+    # resize through the world's refit cadence. Boundary particles
+    # outside the window are dropped from binning (> h from any fluid by
+    # the margin). This is the TPU analog of the reference's adaptive
+    # HGrid extent (`hgrid.rs`: hash maps only store occupied cells).
+    # None = grid covers the full domain with a static origin.
+    fitted_dims: Optional[tuple] = None
     # Dense layout capacities: max particles per cell (cell width = h).
     dense_cap: int = 12
     dense_cap_boundary: int = 24

@@ -122,6 +122,10 @@ def build_sharded_step_fn(sim, solver_cfg, forces, num_fluids: int,
 
     if getattr(sim, "dense_compact", False):
         raise ValueError("domain decomposition requires dense_compact=False")
+    if getattr(sim, "fitted_dims", None) is not None:
+        # Slab decomposition owns the full static domain; fluid-extent
+        # fitting is a single-device optimization.
+        sim = sim.replace(fitted_dims=None)
     if solver_cfg.kind == "dfsph":
         from ..solver.dfsph_dense import build_dense_substep
     elif solver_cfg.kind == "iisph":

@@ -112,6 +112,39 @@ class DenseCtx:
         self.offsets = dg.neighbor_offsets(self.dim)
         self.compact = bool(getattr(sim, "dense_compact", True))
         self.halo = halo
+        # Fluid-tracking grid window (config.fitted_dims): static dims,
+        # traced origin recomputed HERE from the live fluid extent each
+        # substep — a translating fluid never recompiles. Boundary
+        # particles outside the window are dropped from binning (> h
+        # from any fluid by the margin) rather than clamped into the
+        # border ring, where they would interact spuriously.
+        self.fitted = (
+            getattr(sim, "fitted_dims", None) is not None and halo is None
+        )
+        self.drop_b = self.fitted
+        self.origin_dyn = None
+        if self.fitted:
+            import numpy as _np
+
+            h = sim.h
+            mins = _np.asarray(sim.domain[0], _np.float64)
+            maxs = _np.asarray(sim.domain[1], _np.float64)
+            o0 = mins - 2 * h
+            full_dims = _np.maximum(
+                _np.ceil((maxs - o0) / h).astype(int) + 2, 3
+            )
+            max_shift = _np.maximum(
+                full_dims - _np.asarray(spec_f.dims), 0
+            ).astype(_np.float32)
+            big = jnp.float32(1.0e30)
+            lo = jnp.min(
+                jnp.where(fluids.alive[:, None], fluids.positions, big),
+                axis=0,
+            )
+            anchor = jnp.asarray(spec_f.origin, jnp.float32)
+            shift = jnp.floor((lo - 2.0 * h - anchor) / h)
+            shift = jnp.clip(shift, 0.0, jnp.asarray(max_shift))
+            self.origin_dyn = anchor + shift * jnp.float32(h)
 
         self.sparse_b = False
         if halo is not None:
@@ -159,11 +192,13 @@ class DenseCtx:
                 ),
             )
             self.binf = dg.bin_particles_active(
-                spec_f, a_f, fluids.positions, fluids.alive, cap=spec_f.cap
+                spec_f, a_f, fluids.positions, fluids.alive,
+                cap=spec_f.cap, origin=self.origin_dyn,
             )
             self.binb = dg.bin_particles_active(
                 spec_b, a_b, boundaries.positions, boundaries.alive,
-                cap=spec_b.cap,
+                cap=spec_b.cap, drop_clamped=self.drop_b,
+                origin=self.origin_dyn,
             )
             self.sf = dg.ActiveSpec(a_f + 1, spec_f.cap)
             self.sb = dg.ActiveSpec(a_b + 1, spec_b.cap)
@@ -184,7 +219,10 @@ class DenseCtx:
             self.jbf = lambda arr, o: arr[..., nbf[:, o]]
             self.jbb = lambda arr, o: arr[..., nbb[:, o]]
         else:
-            self.binf = dg.bin_particles(spec_f, fluids.positions, fluids.alive)
+            self.binf = dg.bin_particles(
+                spec_f, fluids.positions, fluids.alive,
+                origin=self.origin_dyn,
+            )
             self.sf = spec_f
             offs = self.offsets
             self.jff = lambda arr, o: dg.shift_j(spec_f, arr, offs[o])
@@ -207,7 +245,8 @@ class DenseCtx:
                 )
                 self.binb = dg.bin_particles_active(
                     spec_b, a_b, boundaries.positions, boundaries.alive,
-                    cap=spec_b.cap,
+                    cap=spec_b.cap, drop_clamped=self.drop_b,
+                    origin=self.origin_dyn,
                 )
                 self.sb = dg.ActiveSpec(a_b + 1, spec_b.cap)
                 nbb = dg.neighbor_table(
@@ -247,7 +286,8 @@ class DenseCtx:
                 self.jbf = jbf
             else:
                 self.binb = dg.bin_particles(
-                    spec_b, boundaries.positions, boundaries.alive
+                    spec_b, boundaries.positions, boundaries.alive,
+                    drop_clamped=self.drop_b, origin=self.origin_dyn,
                 )
                 self.sb = spec_b
                 self.jfb = self.jff
@@ -623,6 +663,37 @@ class DenseCtx:
         if out.ndim == 2:
             return jnp.where(self.binf.in_grid[:, None], out, fallback)
         return jnp.where(self.binf.in_grid, out, fallback)
+
+    def unbin_f_multi(self, items):
+        """Unbin several fluid grids with ONE packed row gather
+        (``dense_grid.from_grid_multi``). ``items``: [(grid, fallback)].
+        Halo path falls back to per-channel unbins (the psum merge
+        dominates there anyway)."""
+        if self.halo is not None:
+            return [self.unbin_f(g, fb) for g, fb in items]
+        outs = dg.from_grid_multi(self.sf, self.binf, [g for g, _ in items])
+        res = []
+        for out, (_g, fb) in zip(outs, items):
+            sel = (
+                self.binf.in_grid[:, None]
+                if out.ndim == 2 else self.binf.in_grid
+            )
+            res.append(jnp.where(sel, out, fb))
+        return res
+
+    def unbin_b_multi(self, items):
+        """Boundary twin of :meth:`unbin_f_multi`."""
+        if self.halo is not None:
+            return [self.unbin_b(g, fb) for g, fb in items]
+        outs = dg.from_grid_multi(self.sb, self.binb, [g for g, _ in items])
+        res = []
+        for out, (_g, fb) in zip(outs, items):
+            sel = (
+                self.binb.in_grid[:, None]
+                if out.ndim == 2 else self.binb.in_grid
+            )
+            res.append(jnp.where(sel, out, fb))
+        return res
 
     def unbin_b(self, grid, fallback):
         out = dg.from_grid(self.sb, self.binb, grid, 0.0)

@@ -200,14 +200,19 @@ def build_dense_substep(sim: SimConfig, cfg: DFSPHConfig, num_fluids: int,
         coef = R0 * ctx.M * inv_dt * (ksum_d + inv_dt * ksum_p)
         Fb = ctx.boundary_forces(coef) + np_Fb
 
-        # --- unbin back to particle arrays
-        new_pos = ctx.unbin_f(P2, fluids.positions)
-        new_vel = ctx.unbin_f(V2, fluids.velocities)
-        new_dv = ctx.unbin_f(DV, velocity_changes)
+        # --- unbin back to particle arrays (one packed row gather)
+        new_pos, new_vel, new_dv = ctx.unbin_f_multi([
+            (P2, fluids.positions),
+            (V2, fluids.velocities),
+            (DV, velocity_changes),
+        ])
         fluids = fluids.replace(positions=new_pos, velocities=new_vel)
+        b_forces, b_volumes = ctx.unbin_b_multi([
+            (Fb, boundaries.forces * 0.0),
+            (ctx.Volb, boundaries.volumes),
+        ])
         boundaries = boundaries.replace(
-            forces=ctx.unbin_b(Fb, boundaries.forces * 0.0),
-            volumes=ctx.unbin_b(ctx.Volb, boundaries.volumes),
+            forces=b_forces, volumes=b_volumes
         )
 
         from ..step import StepDiagnostics  # local import avoids a cycle

@@ -163,13 +163,18 @@ def build_dense_substep(sim: SimConfig, cfg: IISPHConfig, num_fluids: int,
         V2 = ctx.V + DV * maskf[None]
         P2 = ctx.P + V2 * (dt * maskf[None])
 
-        new_pos = ctx.unbin_f(P2, fluids.positions)
-        new_vel = ctx.unbin_f(V2, fluids.velocities)
-        new_pressures = ctx.unbin_f(P_grid, pressures)
+        new_pos, new_vel, new_pressures = ctx.unbin_f_multi([
+            (P2, fluids.positions),
+            (V2, fluids.velocities),
+            (P_grid, pressures),
+        ])
         fluids = fluids.replace(positions=new_pos, velocities=new_vel)
+        b_forces, b_volumes = ctx.unbin_b_multi([
+            (Fb, boundaries.forces * 0.0),
+            (ctx.Volb, boundaries.volumes),
+        ])
         boundaries = boundaries.replace(
-            forces=ctx.unbin_b(Fb, boundaries.forces * 0.0),
-            volumes=ctx.unbin_b(ctx.Volb, boundaries.volumes),
+            forces=b_forces, volumes=b_volumes
         )
 
         from ..step import StepDiagnostics

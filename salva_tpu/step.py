@@ -37,6 +37,11 @@ class StepDiagnostics:
     neighbor_overflow: jnp.ndarray
     candidate_overflow: jnp.ndarray
     max_density_ratio: jnp.ndarray
+    # Live fluid extent + speed, computed on-device each step (drives the
+    # fitted-grid refit policy without per-step host fetches of state).
+    fluid_min: jnp.ndarray = None
+    fluid_max: jnp.ndarray = None
+    max_speed: jnp.ndarray = None
 
     @classmethod
     def zeros(cls):
@@ -93,6 +98,13 @@ def _dense_config(sim: SimConfig, solver_cfg, forces: ForceSet):
 
     mins, maxs = sim.domain
     spec_f = spec_for_aabb(mins, maxs, sim.h, sim.dense_cap)
+    if sim.fitted_dims is not None:
+        # Fluid-tracking window: static dims, on-device dynamic origin
+        # (see config.fitted_dims). The spec keeps the domain origin as
+        # the lattice anchor; DenseCtx supplies the traced origin.
+        spec_f = spec_f.replace(
+            dims=tuple(int(v) for v in sim.fitted_dims)
+        )
     spec_b = spec_f.replace(cap=sim.dense_cap_boundary)
     return spec_f, spec_b, dense_forces
 
@@ -255,6 +267,28 @@ def build_step_fn(
             fluids, boundaries, solver_state, diag = substep(
                 fluids, boundaries, solver_state, es, sub_dt, gravity
             )
+        # Fluid extent + peak speed for the fitted-grid refit policy
+        # (one masked reduce; free next to the solver work).
+        alive = fluids.alive[:, None]
+        big = jnp.float32(1.0e30)
+        diag = diag.replace(
+            fluid_min=jnp.min(
+                jnp.where(alive, fluids.positions, big), axis=0
+            ),
+            fluid_max=jnp.max(
+                jnp.where(alive, fluids.positions, -big), axis=0
+            ),
+            max_speed=jnp.sqrt(
+                jnp.max(
+                    jnp.where(
+                        fluids.alive,
+                        jnp.sum(fluids.velocities**2, axis=-1),
+                        0.0,
+                    ),
+                    initial=0.0,
+                )
+            ),
+        )
         return fluids, boundaries, solver_state, diag
 
     return step

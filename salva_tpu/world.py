@@ -187,6 +187,7 @@ class LiquidWorld:
         layout: str = "auto",
         dense_cap: Optional[int] = None,
         dense_cap_boundary: Optional[int] = None,
+        fit_grid: bool = True,
     ):
         self.solver_config = solver if solver is not None else DFSPHConfig()
         # ``dense_cap(_boundary)=None`` auto-sizes the per-cell slot
@@ -198,6 +199,16 @@ class LiquidWorld:
         self._dense_cap_boundary_request = dense_cap_boundary
         self._auto_caps: Optional[tuple] = None
         self._auto_caps_capacity = None
+        # Fluid-tracking grid window (config.fitted_dims): static dims
+        # chosen here with quantization + hysteresis (resizes recompile),
+        # origin tracked ON DEVICE by the substep (translation is free).
+        # Sizes refresh on the overflow check cadence from on-device
+        # extent diagnostics.
+        self._fit_grid = bool(fit_grid)
+        self._fitted_dims: Optional[tuple] = None
+        self._initial_fit_done = False
+        self._full_bvol_stale = True
+        self._last_dt = 1.0 / 60.0
         self.sim = SimConfig(
             dim=dim,
             particle_radius=particle_radius,
@@ -382,6 +393,7 @@ class LiquidWorld:
         return handle
 
     def add_boundary(self, boundary: Boundary) -> int:
+        self._full_bvol_stale = True
         handle = len(self._boundary_records)
         self._boundary_records.append(
             _BoundaryRecord(groups=boundary.interaction_groups)
@@ -400,6 +412,7 @@ class LiquidWorld:
         self._force_set = None
 
     def remove_boundary(self, handle: int):
+        self._full_bvol_stale = True
         slots = np.where(self._boundary_slot_owner == handle)[0]
         if len(slots):
             self.boundaries_state = self.boundaries_state.replace(
@@ -887,6 +900,10 @@ class LiquidWorld:
                 sim = sim.replace(
                     dense_cap=caps[0], dense_cap_boundary=caps[1]
                 )
+            if self._fit_grid and not self._initial_fit_done:
+                self._initial_fit()
+            if sim.fitted_dims != self._fitted_dims:
+                sim = sim.replace(fitted_dims=self._fitted_dims)
         if sim.layout != "auto" or sim.domain is None:
             return sim
         mins, maxs = sim.domain
@@ -906,6 +923,100 @@ class LiquidWorld:
         if cells * sim.dense_cap > slot_limit:
             return sim.replace(layout="gather")
         return sim
+
+    # -- fluid-tracking grid window (config.fitted_dims) --------------------
+
+    def _full_grid_dims(self) -> np.ndarray:
+        """The full-domain grid dims (same formula as spec_for_aabb)."""
+        h = self.sim.h
+        mins = np.asarray(self.sim.domain[0], np.float64)
+        maxs = np.asarray(self.sim.domain[1], np.float64)
+        origin = mins - 2 * h
+        return np.maximum(np.ceil((maxs - origin) / h).astype(int) + 2, 3)
+
+    def _initial_fit(self):
+        """First window sizing from the host-visible state (pre-step)."""
+        self._initial_fit_done = True
+        pos = np.asarray(self.fluids_state.positions)
+        alive = np.asarray(self.fluids_state.alive)
+        pos = pos[alive]
+        if len(pos) == 0:
+            return
+        vel = np.asarray(self.fluids_state.velocities)[alive]
+        vmax = float(np.sqrt((vel * vel).sum(axis=-1).max())) if len(vel) else 0.0
+        self._refit_dims(pos.min(axis=0), pos.max(axis=0), vmax)
+
+    def _maybe_refit_grid(self):
+        """Resize the window from the on-device extent diagnostics (runs
+        on the overflow-check cadence: no per-step host fetch — the
+        per-substep origin tracking is on device)."""
+        if not self._fit_grid or self.sim.domain is None:
+            return
+        d = self.last_diagnostics
+        if d is None or d.fluid_min is None:
+            return
+        lo = np.asarray(d.fluid_min, np.float64)
+        hi = np.asarray(d.fluid_max, np.float64)
+        if not np.isfinite(lo).all() or (hi < lo).any():
+            return  # no live fluid
+        vmax = float(d.max_speed) if d.max_speed is not None else 0.0
+        self._refit_dims(lo, hi, vmax)
+
+    def _refit_dims(self, lo, hi, vmax):
+        """Quantized, hysteretic window-size update.
+
+        The window must hold the fluid extent plus: 2 low-side cells (the
+        on-device origin places the fluid 2 cells in), a high-side slack
+        covering extent growth until the next check (vmax-scaled), and
+        rounding. Dims quantize to 4-cell steps so small extent changes
+        do not recompile; growth is also caught by the clamp counter."""
+        h = self.sim.h
+        full = self._full_grid_dims()
+        extent = np.ceil((np.asarray(hi) - np.asarray(lo)) / h).astype(int)
+        grow = int(
+            np.ceil(2.0 * vmax * self.overflow_check_interval
+                    * self._last_dt / h)
+        )
+        need = extent + 1  # fluid cells
+        dims = need + 4 + min(grow, 16)  # low margin + high slack
+        dims = (np.ceil(dims / 4.0) * 4).astype(int)
+        dims = np.minimum(np.maximum(dims, 8), full)
+
+        cur = self._fitted_dims
+        if cur is not None:
+            cur = np.asarray(cur)
+            ok = (cur >= need + 4).all()  # still room for margins
+            not_bloated = float(np.prod(cur)) <= 1.7 * float(np.prod(dims))
+            if ok and not_bloated:
+                return
+        if float(np.prod(dims)) >= 0.85 * float(np.prod(full)):
+            self._fitted_dims = None  # window ~= domain: not worth it
+        else:
+            self._fitted_dims = tuple(int(v) for v in dims)
+
+    def _refresh_full_boundary_volumes(self):
+        """One-time full-extent boundary-boundary volume pass so wall
+        particles OUTSIDE the fitted box carry correct cached volumes
+        (in-box recomputes never touch them again: they unbin through the
+        previous-value fallback). Uses the grid-free gather machinery —
+        runs once per boundary-set change, not per step."""
+        bd = self.boundaries_state
+        if not bool(np.asarray(bd.alive).any()):
+            return
+        from .solver.common import boundary_volumes as _bvol
+
+        kd_w, _ = get_kernel(self.sim.kernel_density)
+        bgroups = bd.groups()
+        bgrid = build_grid(bd.positions, bd.alive, self.h, self.dim)
+        from .geometry import weighted_sum_over_neighbors as _wsum
+
+        wsum, _over = _wsum(
+            bd.positions, bd.alive, bgroups, bgrid, bd.positions,
+            bd.alive, bgroups, self.h, self.dim,
+            self.sim.neighbors.max_candidates, same_model_always=True,
+            w_fn=kd_w, query_chunk=self.sim.neighbors.query_chunk,
+        )
+        self.boundaries_state = bd.replace(volumes=_bvol(wsum, bd.alive))
 
     def _max_cell_occupancy(self, positions, alive) -> int:
         """Max particles per grid cell at the CURRENT state (host-side;
@@ -999,11 +1110,15 @@ class LiquidWorld:
         `CouplingManager` protocol (`coupling/base.py`) or is None."""
         self.counters.reset()
         self.counters.step_time.start()
+        self._last_dt = float(dt)
         self._apply_particles_removal()
         self._prepare()
         gravity = jnp.asarray(gravity, jnp.float32)
         num_fluids = max(self.num_fluids, 1)
         sim_eff = self._boundary_volume_mode(self._effective_sim(), coupling)
+        if sim_eff.fitted_dims is not None and self._full_bvol_stale:
+            self._refresh_full_boundary_volumes()
+            self._full_bvol_stale = False
         step_fn = get_jitted_step_fn(
             sim_eff, self.solver_config, self._force_set, num_fluids
         )
@@ -1070,11 +1185,13 @@ class LiquidWorld:
         self._steps_taken += 1
         if self.debug_checks:
             self._run_debug_checks()
+            self._maybe_refit_grid()
         elif self.warn_overflow and (
             self._steps_taken == 1
             or self._steps_taken % max(self.overflow_check_interval, 1) == 0
         ):
             self._warn_on_overflow()
+            self._maybe_refit_grid()
 
     def _warn_on_overflow(self):
         """Default failure surfacing: capacity overflow silently drops

@@ -65,6 +65,9 @@ def _dam_worlds():
                                      query_chunk=4096),
             domain=DOMAIN_2D,
             layout=layout,
+            # Equivalence tests isolate the layout algebra; the fitted
+            # window only perturbs float rounding (own test) so pin off.
+            fit_grid=False,
         )
         pos = cube_positions(8, RADIUS, 2, origin=(-0.9, 0.02))
         fl = world.add_fluid(Fluid(pos, density0=1000.0))
@@ -187,6 +190,9 @@ def test_dense_iisph_matches_gather():
                                      query_chunk=4096),
             domain=DOMAIN_2D,
             layout=layout,
+            # Equivalence tests isolate the layout algebra; the fitted
+            # window only perturbs float rounding (own test) so pin off.
+            fit_grid=False,
         )
         pos = cube_positions(7, RADIUS, 2, origin=(-0.5, 0.02))
         fl = world.add_fluid(Fluid(pos, density0=1000.0))
@@ -250,7 +256,7 @@ def _force_world(layout, np_forces):
         solver=DFSPHConfig(), particle_radius=RADIUS, dim=2,
         neighbors=NeighborConfig(max_neighbors=64, max_candidates=160,
                                  query_chunk=4096),
-        domain=DOMAIN_2D, layout=layout,
+        domain=DOMAIN_2D, layout=layout, fit_grid=False,
     )
     pos = cube_positions(6, RADIUS, 2, origin=(-0.3, 0.02))
     fl = world.add_fluid(
@@ -352,3 +358,48 @@ def test_frozen_pairs_matches_recompute():
     np.testing.assert_allclose(pr, pb, atol=5e-3)
     dr, df = wr.last_diagnostics, wf.last_diagnostics
     assert int(dr.solver.pressure_iters) == int(df.solver.pressure_iters)
+
+
+def test_fitted_grid_matches_full_domain():
+    """The fluid-extent-fitted grid (config.fitted_dims) is a pure
+    layout optimization: physics must match the full-domain grid through
+    refit checkpoints, including walls that extend far outside the
+    fitted box (dropped from binning: they are > h from any fluid)."""
+    import numpy as np
+
+    from salva_tpu.world import Boundary, Fluid, LiquidWorld
+
+    def build(fit):
+        w = LiquidWorld(
+            particle_radius=RADIUS, dim=2,
+            neighbors=NeighborConfig(max_neighbors=64, max_candidates=160,
+                                     query_chunk=4096),
+            domain=((-4.0, -0.3), (4.0, 6.0)), layout="dense",
+            fit_grid=fit,
+        )
+        xs = np.arange(-0.45, 0.45, 2 * RADIUS, dtype=np.float32)
+        ys = np.arange(0.3, 1.2, 2 * RADIUS, dtype=np.float32)
+        pos = np.stack(
+            np.meshgrid(xs, ys, indexing="ij"), axis=-1
+        ).reshape(-1, 2).astype(np.float32)
+        fl = w.add_fluid(Fluid(pos, density0=1000.0))
+        # Floor spanning the WHOLE domain: most of it sits outside the
+        # fitted box and must not change anything.
+        fx = np.arange(-4.0, 4.0, 2 * RADIUS, dtype=np.float32)
+        floor = np.stack([fx, np.full_like(fx, -2 * RADIUS)], axis=-1)
+        floor2 = floor - np.array([0.0, 2 * RADIUS], np.float32)
+        w.add_boundary(Boundary(np.concatenate([floor, floor2])))
+        return w, fl
+
+    wa, fa = build(True)
+    wb, fb = build(False)
+    assert wa._effective_sim().fitted_dims is not None
+    assert wb._effective_sim().fitted_dims is None
+    for _ in range(20):  # crosses the step-16 refit checkpoint
+        wa.step(1.0 / 200.0, (0.0, -9.81))
+        wb.step(1.0 / 200.0, (0.0, -9.81))
+    pa = wa.fluid_positions(fa)
+    pb = wb.fluid_positions(fb)
+    np.testing.assert_allclose(pa, pb, atol=2e-5)
+    # No particle was clamped against the fitted box.
+    assert int(wa.last_diagnostics.candidate_overflow) == 0
