@@ -44,13 +44,20 @@ class Halo:
     Local grid arrays are ``[..., cap, C_local]`` with
     ``C_local = (nxl + 2) * nyz``; layer 0 and layer ``nxl + 1`` are the
     ghost layers mirroring the neighbors' border cells.
+
+    ``migrate=True`` marks the sharded-binning mode: particle arrays are
+    per-device migrated slices (not replicated), so ``merge_particles``
+    is a local select — the cross-device routing happens in the
+    migration wrapper, not via full-array psums.
     """
 
-    def __init__(self, axis_name: str, n_dev: int, nxl: int, nyz: int):
+    def __init__(self, axis_name: str, n_dev: int, nxl: int, nyz: int,
+                 migrate: bool = False):
         self.axis_name = axis_name
         self.n_dev = n_dev
         self.nxl = nxl
         self.nyz = nyz
+        self.migrate = migrate
 
     @property
     def x0(self):
@@ -88,7 +95,14 @@ class Halo:
 
     def merge_particles(self, values, covered, fallback):
         """Combine per-device unbinned particle arrays: each particle is
-        interior on exactly one device; the rest contribute zeros."""
+        interior on exactly one device; the rest contribute zeros. In
+        migration mode the arrays are local slices — no psum, the router
+        selects the interior copy."""
+        if self.migrate:
+            cov = covered
+            if values.ndim == 2:
+                cov = cov[:, None]
+            return jnp.where(cov, values, fallback)
         total = self.psum(values)
         cov = self.psum(covered.astype(jnp.float32)) > 0
         if values.ndim == 2:
@@ -109,8 +123,108 @@ def pad_spec_for_devices(spec, n_dev: int):
     return spec
 
 
+# -- sharded binning: per-device particle migration -------------------------
+
+
+def shard_interleave_perm(n: int, n_dev: int):
+    """Round-robin permutation decorrelating contiguous shard slices from
+    spatial order: device ``d``'s block becomes every ``n_dev``-th row of
+    the original order. Spatially sorted storage (cube emission order,
+    ``z_sort``) would otherwise send a device's ENTIRE slice to one slab
+    owner, forcing the per-pair all-to-all buffers up to O(N / n_dev)
+    instead of O(N / n_dev^2)."""
+    return np.arange(n).reshape(n // n_dev, n_dev).T.reshape(-1)
+
+
+def shard_interleave(state, n_dev: int):
+    """Apply :func:`shard_interleave_perm` to every [N, ...] leaf of a
+    state pytree (fluids / boundaries / solver state)."""
+    leaves = jax.tree_util.tree_leaves(state)
+    n = leaves[0].shape[0]
+    perm = jnp.asarray(shard_interleave_perm(n, n_dev))
+    return jax.tree_util.tree_map(lambda a: a[perm], state)
+
+
+def _slab_targets(spec, nxl: int, n_dev: int, positions, alive):
+    """[Nl, 3] target devices for each particle: the slab OWNER of its
+    (interior-clamped) x-cell plus the neighbors whose ghost layer it
+    fills (first/last layer of a slab); -1 = unused slot. Clamp math
+    mirrors ``dense_grid.bin_particles_slab`` exactly."""
+    h = spec.cell_width
+    ox = float(spec.origin[0])
+    hi_x = (spec.clamp_nx if spec.clamp_nx is not None else spec.dims[0]) - 2
+    cx = jnp.floor(
+        (positions[..., 0] - jnp.float32(ox)) / jnp.float32(h)
+    ).astype(jnp.int32)
+    cx = jnp.clip(cx, 1, hi_x)
+    owner = jnp.clip(cx // nxl, 0, n_dev - 1)
+    lx = cx - owner * nxl  # in [0, nxl)
+    left = jnp.where((lx == 0) & (owner > 0), owner - 1, -1)
+    right = jnp.where((lx == nxl - 1) & (owner < n_dev - 1), owner + 1, -1)
+    dead = jnp.logical_not(alive)
+    t = jnp.stack([owner, left, right], axis=-1)
+    return jnp.where(dead[:, None], -1, t)
+
+
+def _route_out(leaves, targets, cap_send: int, axis_name: str, n_dev: int):
+    """Bucketize rows by target device and exchange.
+
+    ``leaves``: [Nl, ...] arrays; ``targets``: [Nl, T] devices (-1 =
+    none). Returns (received leaves [n_dev * cap_send, ...] — block s =
+    rows from device s, in s-local order, so a stable per-cell rank over
+    the received set equals the replicated path's global-order ranks
+    bitwise —, flat destination slots [Nl * T] for the reply route,
+    send-overflow count)."""
+    from ..geometry.dense_grid import _sorted_ranks
+
+    nl, t_slots = targets.shape
+    tgt = targets.reshape(-1)
+    key = jnp.where(tgt >= 0, tgt, n_dev)
+    order, rank_sorted, _, _ = _sorted_ranks(key)
+    rank = jnp.zeros((nl * t_slots,), jnp.int32).at[order].set(rank_sorted)
+    ok = (tgt >= 0) & (rank < cap_send)
+    dst = jnp.where(ok, tgt * cap_send + rank, n_dev * cap_send)
+    overflow = jnp.sum(((tgt >= 0) & (rank >= cap_send)).astype(jnp.int32))
+    recv = []
+    for leaf in leaves:
+        rows = jnp.repeat(leaf, t_slots, axis=0)
+        buf = jnp.zeros(
+            (n_dev * cap_send + 1,) + leaf.shape[1:], leaf.dtype
+        )
+        buf = buf.at[dst].set(rows, mode="drop")[:-1]
+        buf = jax.lax.all_to_all(
+            buf, axis_name, split_axis=0, concat_axis=0, tiled=True
+        )
+        recv.append(buf)
+    return recv, dst, overflow
+
+
+def _route_back(reply_leaves, dst, fallback_leaves, t_slots: int,
+                axis_name: str, n_dev: int, cap_send: int):
+    """Send per-received-row outputs back to their source rows.
+
+    ``reply_leaves``: [n_dev * cap_send, ...] outputs in received
+    layout; after the reverse all-to-all, block t holds the replies for
+    the rows this device sent to t. Each source row reads its OWNER
+    reply (target column 0); rows that were never delivered fall back to
+    their original values."""
+    dst_owner = dst.reshape(-1, t_slots)[:, 0]
+    ok = dst_owner < n_dev * cap_send
+    idx = jnp.minimum(dst_owner, n_dev * cap_send - 1)
+    out = []
+    for reply, fb in zip(reply_leaves, fallback_leaves):
+        back = jax.lax.all_to_all(
+            reply, axis_name, split_axis=0, concat_axis=0, tiled=True
+        )
+        val = back[idx]
+        sel = ok[:, None] if val.ndim == 2 else ok
+        out.append(jnp.where(sel, val, fb))
+    return out
+
+
 def build_sharded_step_fn(sim, solver_cfg, forces, num_fluids: int,
-                          mesh: Mesh):
+                          mesh: Mesh, sharded_binning: bool = False,
+                          send_cap: int = None, send_cap_boundary: int = None):
     """The dense solver step (DFSPH or IISPH) sharded over ``mesh``'s
     first axis.
 
@@ -144,6 +258,7 @@ def build_sharded_step_fn(sim, solver_cfg, forces, num_fluids: int,
     from ..solver.forces_dense import (
         Akinci2013SurfaceTensionDense,
         ArtificialViscosityDense,
+        DFSPHViscosityDense,
         He2014SurfaceTensionDense,
         ParticleWiseForce,
         WCSPHSurfaceTensionDense,
@@ -157,6 +272,8 @@ def build_sharded_step_fn(sim, solver_cfg, forces, num_fluids: int,
         Akinci2013SurfaceTensionDense,  # exchanges its normals mid-force
         He2014SurfaceTensionDense,  # exchanges color + |grad c|^2
         ParticleWiseForce,  # particle layout (replicated), no grid pass
+        DFSPHViscosityDense,  # per-iteration ghost exchange of the
+        # strain iterate + psum'd global mean error
     )
     for f in dense_forces:
         if not isinstance(f, halo_ok):
@@ -173,7 +290,7 @@ def build_sharded_step_fn(sim, solver_cfg, forces, num_fluids: int,
     nyz = int(np.prod(spec_f.dims[1:]))
 
     def halo_builder():
-        return Halo(axis_name, n_dev, nxl, nyz)
+        return Halo(axis_name, n_dev, nxl, nyz, migrate=sharded_binning)
 
     substep = build_dense_substep(
         sim, solver_cfg, num_fluids, spec_f, spec_b, dense_forces,
@@ -182,25 +299,116 @@ def build_sharded_step_fn(sim, solver_cfg, forces, num_fluids: int,
 
     n_sub = sim.n_substeps
 
+    if not sharded_binning:
+        # Replicated binning: every device bins all N particles and keeps
+        # its slab; particle outputs merge via psum.
+        def step(fluids, boundaries, solver_state, es, dt, gravity):
+            sub_dt = dt / n_sub
+            diag = None
+            for _ in range(n_sub):
+                fluids, boundaries, solver_state, diag = substep(
+                    fluids, boundaries, solver_state, es, sub_dt, gravity
+                )
+            return fluids, boundaries, solver_state, diag
+
+        return jax.shard_map(
+            step, mesh=mesh, in_specs=P(), out_specs=P(), check_vma=False
+        )
+
+    # Sharded binning: the particle axis is SHARDED across devices; each
+    # substep migrates rows to the device owning their x-slab (plus its
+    # ghost neighbors) via one all-to-all, bins only the received rows
+    # (O(N / n_dev) sort + scatters per device instead of O(N)), and
+    # routes the outputs back. Received blocks preserve source order, so
+    # per-cell ranks — and therefore the grids — are bitwise equal to the
+    # replicated path.
+    if any(isinstance(f, ParticleWiseForce) for f in dense_forces):
+        raise ValueError(
+            "sharded_binning does not support particle-wise forces "
+            "(elasticity reads cross-slice rest topology); use the "
+            "replicated path"
+        )
+
+    def mig_substep(fl, bd, ss, dt, gravity):
+        nl = fl.positions.shape[0]
+        # Per-(src, dst) buffer: ~N/n_dev^2 with x-decorrelated slices
+        # (see shard_interleave) x 2.5 imbalance headroom; overflow is
+        # counted loudly in the diagnostics.
+        cap_f = send_cap or max(64, -(-5 * nl // (2 * n_dev)) + 64)
+        ml = bd.positions.shape[0]
+        # Boundaries distribute by geometry (a side wall lives in ONE
+        # slab), so the per-pair buffer defaults to the full local count.
+        cap_b = send_cap_boundary or max(64, ml)
+
+        tf = _slab_targets(spec_f, nxl, n_dev, fl.positions, fl.alive)
+        fl_leaves, fl_def = jax.tree_util.tree_flatten(fl)
+        ss_leaves, ss_def = jax.tree_util.tree_flatten(ss)
+        nf = len(fl_leaves)
+        recv, dst_f, over_f = _route_out(
+            fl_leaves + ss_leaves, tf, cap_f, axis_name, n_dev
+        )
+        lfl = jax.tree_util.tree_unflatten(fl_def, recv[:nf])
+        lss = jax.tree_util.tree_unflatten(ss_def, recv[nf:])
+
+        tb = _slab_targets(spec_b, nxl, n_dev, bd.positions, bd.alive)
+        bd_leaves, bd_def = jax.tree_util.tree_flatten(bd)
+        recv_b, dst_b, over_b = _route_out(
+            bd_leaves, tb, cap_b, axis_name, n_dev
+        )
+        lbd = jax.tree_util.tree_unflatten(bd_def, recv_b)
+
+        nfl, nbd, nss, diag = substep(lfl, lbd, lss, None, dt, gravity)
+
+        nfl_leaves = jax.tree_util.tree_flatten(nfl)[0]
+        nss_leaves = jax.tree_util.tree_flatten(nss)[0]
+        back = _route_back(
+            nfl_leaves + nss_leaves, dst_f, fl_leaves + ss_leaves,
+            3, axis_name, n_dev, cap_f,
+        )
+        fl2 = jax.tree_util.tree_unflatten(fl_def, back[:nf])
+        ss2 = jax.tree_util.tree_unflatten(ss_def, back[nf:])
+        nbd_leaves = jax.tree_util.tree_flatten(nbd)[0]
+        back_b = _route_back(
+            nbd_leaves, dst_b, bd_leaves, 3, axis_name, n_dev, cap_b
+        )
+        bd2 = jax.tree_util.tree_unflatten(bd_def, back_b)
+
+        send_over = halo_builder().psum(over_f + over_b)
+        diag = diag.replace(
+            candidate_overflow=diag.candidate_overflow + send_over
+        )
+        return fl2, bd2, ss2, diag
+
     def step(fluids, boundaries, solver_state, es, dt, gravity):
+        del es  # particle-wise forces rejected above
         sub_dt = dt / n_sub
         diag = None
         for _ in range(n_sub):
-            fluids, boundaries, solver_state, diag = substep(
-                fluids, boundaries, solver_state, es, sub_dt, gravity
+            fluids, boundaries, solver_state, diag = mig_substep(
+                fluids, boundaries, solver_state, sub_dt, gravity
             )
         return fluids, boundaries, solver_state, diag
 
+    ax = P(axis_name)
     return jax.shard_map(
-        step, mesh=mesh, in_specs=P(), out_specs=P(), check_vma=False
+        step, mesh=mesh,
+        in_specs=(ax, ax, ax, P(), P(), P()),
+        out_specs=(ax, ax, ax, P()),
+        check_vma=False,
     )
 
 
 @functools.lru_cache(maxsize=16)
 def get_jitted_sharded_step_fn(sim, solver_cfg, forces, num_fluids: int,
-                               mesh: Mesh):
+                               mesh: Mesh, sharded_binning: bool = False,
+                               send_cap: int = None,
+                               send_cap_boundary: int = None):
     return jax.jit(
-        build_sharded_step_fn(sim, solver_cfg, forces, num_fluids, mesh)
+        build_sharded_step_fn(
+            sim, solver_cfg, forces, num_fluids, mesh,
+            sharded_binning=sharded_binning, send_cap=send_cap,
+            send_cap_boundary=send_cap_boundary,
+        )
     )
 
 
@@ -234,6 +442,10 @@ def dryrun(n_devices: int) -> None:
     sharded = get_jitted_sharded_step_fn(
         world.sim, world.solver_config, world._force_set, 1, mesh
     )
+    migrated = get_jitted_sharded_step_fn(
+        world.sim, world.solver_config, world._force_set, 1, mesh,
+        sharded_binning=True,
+    )
     single = get_jitted_step_fn(
         world.sim, world.solver_config, world._force_set, 1
     )
@@ -243,12 +455,18 @@ def dryrun(n_devices: int) -> None:
         jnp.asarray([0.0, -9.81, 0.0], jnp.float32),
     )
     out_s = sharded(*args)
+    out_m = migrated(*args)
     out_1 = single(*args)
-    jax.block_until_ready((out_s, out_1))
+    jax.block_until_ready((out_s, out_m, out_1))
     ps = np.asarray(out_s[0].positions)
+    pm = np.asarray(out_m[0].positions)
     p1 = np.asarray(out_1[0].positions)
     assert np.isfinite(ps).all()
     np.testing.assert_allclose(ps, p1, atol=1e-5)
+    np.testing.assert_allclose(pm, p1, atol=1e-5)
     assert int(out_s[3].solver.pressure_iters) == int(
+        out_1[3].solver.pressure_iters
+    )
+    assert int(out_m[3].solver.pressure_iters) == int(
         out_1[3].solver.pressure_iters
     )

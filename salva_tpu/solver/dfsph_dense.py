@@ -132,7 +132,7 @@ def build_dense_substep(sim: SimConfig, cfg: DFSPHConfig, num_fluids: int,
                 h=sim.h, dim=dim, dt=dt, inv_dt=inv_dt,
                 kernel_density=sim.kernel_density,
                 kernel_gradient=sim.kernel_gradient,
-                halo=halo,
+                halo=halo, interior=ctx.interior,
             )
             np_Fb_force = jnp.zeros_like(Pb_v)
             any_fb = False

@@ -58,6 +58,9 @@ class DenseFields(NamedTuple):
     # per-force intermediates computed on owned cells but read at j
     # (e.g. Akinci normals, He2014 color gradients). None single-device.
     halo: object = None
+    # Slot-ownership mask under domain decomposition ([1, C] bool; owned
+    # layers True) for global mean-error rules inside iterative forces.
+    interior: object = None
 
 
 def per_slot(values: Tuple[float, ...], FID):
@@ -833,10 +836,16 @@ class DFSPHViscosityDense:
         target = strain_rate(jnp.zeros_like(f.P)) * (1.0 - nu)[None]
 
         live_part = (f.maskf > 0) & (part > 0)
+        if f.interior is not None:
+            # Domain decomposition: reduce over owned slots, psum for the
+            # reference's GLOBAL mean-error rule.
+            live_part = live_part & f.interior
         counts = [
             jnp.sum(jnp.where(live_part & (f.FID == fl), 1.0, 0.0))
             for fl in range(len(self.viscosity_coefficients))
         ]
+        if f.halo is not None:
+            counts = [f.halo.psum(c) for c in counts]
 
         def mean_err(err_vec):
             contrib = jnp.sum(jnp.abs(err_vec), axis=0) / 6.0
@@ -845,6 +854,8 @@ class DFSPHViscosityDense:
                 s = jnp.sum(
                     jnp.where(live_part & (f.FID == fl), contrib, 0.0)
                 )
+                if f.halo is not None:
+                    s = f.halo.psum(s)
                 err = jnp.maximum(
                     err, jnp.where(cnt > 0, s / jnp.maximum(cnt, 1.0), 0.0)
                 )
@@ -852,6 +863,10 @@ class DFSPHViscosityDense:
 
         def body(carry):
             i, accel, _, _ = carry
+            if f.halo is not None:
+                # ts_pass reads (V + accel dt) at j: refresh the ghost
+                # layers of the iterate before each strain evaluation.
+                accel = f.halo.exchange(accel)
             err_vec = strain_rate(accel) - target
             err = mean_err(err_vec)
             converged = (err <= self.max_viscosity_error) & (
@@ -862,6 +877,10 @@ class DFSPHViscosityDense:
                 ev = jnp.moveaxis(err_vec, 0, -1)  # [cap, C, S]
                 u = jnp.einsum("...st,...t->...s", beta, ev)
                 u = jnp.moveaxis(u, -1, 0) / (rho * rho)[None]  # [S, cap, C]
+                if f.halo is not None:
+                    # u is valid on owned cells (beta/err_vec are);
+                    # u_pass reads u at j.
+                    u = f.halo.exchange(u)
                 upass = u_pass(u)
                 own = jnp.einsum("ds...,s...->d...", Nsum, u)
                 contrib = (own + upass) * (f.R0 * 0.5)[None]

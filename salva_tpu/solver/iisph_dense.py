@@ -62,7 +62,7 @@ def build_dense_substep(sim: SimConfig, cfg: IISPHConfig, num_fluids: int,
                 Volb=Volb_v, maskb=maskb_v, h=sim.h, dim=dim,
                 dt=dt, inv_dt=inv_dt, kernel_density=sim.kernel_density,
                 kernel_gradient=sim.kernel_gradient,
-                halo=halo,
+                halo=halo, interior=ctx.interior,
             )
             np_Fb_force = jnp.zeros_like(Pb_v)
             any_fb = False

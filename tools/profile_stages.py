@@ -27,7 +27,7 @@ jax.config.update(
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 
-def build_world(n_target, cap=12, **sim_over):
+def build_world(n_target, cap=None, fit=True, **sim_over):
     from salva_tpu import shapes
     from salva_tpu.config import DFSPHConfig, NeighborConfig
     from salva_tpu.sampling import shape_surface_sample
@@ -44,7 +44,8 @@ def build_world(n_target, cap=12, **sim_over):
         solver=DFSPHConfig(), particle_radius=radius, dim=3,
         neighbors=NeighborConfig(max_neighbors=64, max_candidates=224,
                                  query_chunk=65536),
-        domain=domain, layout="dense", dense_cap=cap, dense_cap_boundary=16,
+        domain=domain, layout="dense", dense_cap=cap,
+        dense_cap_boundary=None, fit_grid=fit,
     )
     if sim_over:
         world.sim = world.sim.replace(**sim_over)
@@ -95,44 +96,56 @@ def timed_step(label, world, solver_cfg=None, reps=10):
 
 
 def main():
+    """Variants are selected by the VARIANTS env (comma list) so a run
+    through the slow remote-compile path only builds what it needs:
+    full,iters,caps,compact,frozen,nofit (default: full,iters)."""
     n_target = int(sys.argv[1]) if len(sys.argv) > 1 else 97000
+    variants = set(
+        os.environ.get("VARIANTS", "full,iters").split(",")
+    )
     from salva_tpu.config import DFSPHConfig
 
     world = build_world(n_target)
     n = int(np.asarray(world.fluids_state.alive).sum())
-    print(f"N={n}", flush=True)
+    print(f"N={n} fitted={world._effective_sim().fitted_dims} "
+          f"caps=({world._effective_sim().dense_cap},"
+          f"{world._effective_sim().dense_cap_boundary})", flush=True)
     run_to_impact(world)
 
-    full = timed_step("full (cap12)", world)
-    timed_step("iters 1/1 (fixed + 2 passes)", world, DFSPHConfig(
-        max_pressure_iter=1, max_divergence_iter=1,
-        min_pressure_iter=1, min_divergence_iter=1))
-    timed_step("iters 0/0 (fixed cost only)", world, DFSPHConfig(
-        max_pressure_iter=0, max_divergence_iter=0,
-        min_pressure_iter=0, min_divergence_iter=0))
+    full = timed_step("full", world)
+    if "iters" in variants:
+        timed_step("iters 1/1 (fixed + 2 passes)", world, DFSPHConfig(
+            max_pressure_iter=1, max_divergence_iter=1,
+            min_pressure_iter=1, min_divergence_iter=1))
+        timed_step("iters 0/0 (fixed cost only)", world, DFSPHConfig(
+            max_pressure_iter=0, max_divergence_iter=0,
+            min_pressure_iter=0, min_divergence_iter=0))
 
-    for cap in (8, 10, 16):
-        w = build_world(n_target, cap=cap)
+    if "nofit" in variants:
+        w = build_world(n_target, fit=False)
         run_to_impact(w, 3)
-        timed_step(f"full cap={cap}", w)
+        timed_step("full unfitted grid", w)
 
-    w = build_world(n_target, dense_compact=True)
-    run_to_impact(w, 3)
-    timed_step("full compact (cap12)", w)
+    if "caps" in variants:
+        for cap in (8, 10, 16):
+            w = build_world(n_target, cap=cap)
+            run_to_impact(w, 3)
+            timed_step(f"full cap={cap}", w)
 
-    w = build_world(n_target, dense_frozen_pairs=True)
-    run_to_impact(w, 3)
-    timed_step("full frozen f32", w)
+    if "compact" in variants:
+        w = build_world(n_target, dense_compact=True)
+        run_to_impact(w, 3)
+        timed_step("full compact", w)
 
-    w = build_world(n_target, dense_frozen_pairs=True,
-                    dense_pair_dtype="bfloat16")
-    run_to_impact(w, 3)
-    timed_step("full frozen bf16", w)
+    if "frozen" in variants:
+        w = build_world(n_target, dense_frozen_pairs=True)
+        run_to_impact(w, 3)
+        timed_step("full frozen f32", w)
 
-    w = build_world(n_target, dense_compact=True, dense_frozen_pairs=True,
-                    dense_pair_dtype="bfloat16")
-    run_to_impact(w, 3)
-    timed_step("full compact+frozen bf16", w)
+        w = build_world(n_target, dense_frozen_pairs=True,
+                        dense_pair_dtype="bfloat16")
+        run_to_impact(w, 3)
+        timed_step("full frozen bf16", w)
 
     print(f"baseline full: {full:.1f} ms/step -> "
           f"{n / full * 1000:.0f} particle-steps/s", flush=True)
