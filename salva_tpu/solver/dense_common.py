@@ -23,6 +23,7 @@ from __future__ import annotations
 
 from typing import Dict
 
+import jax
 import jax.numpy as jnp
 
 from ..config import SimConfig
@@ -33,7 +34,38 @@ EPSILON = float(jnp.finfo(jnp.float32).eps)
 
 
 def w_dwr(r2, h, dim, w_fn, dw_fn):
-    """(W, dW/dr / r) with the r ~ 0 gradient cutoff (`kernel.rs:19-26`)."""
+    """(W, dW/dr / r) with the r ~ 0 gradient cutoff (`kernel.rs:19-26`).
+
+    The cubic-spline default takes a fused path that evaluates dW/r
+    directly from r² — the near branch of the cubic's dW/r is a
+    polynomial in q (no division) and the far branch needs only an
+    rsqrt, so the pair passes spend one sqrt + one rsqrt instead of a
+    sqrt and two divides per pair slot (these transcendentals dominate
+    the VPU cost of the hot folds)."""
+    from ..kernels.sph import cubic_dw, cubic_w, _cubic_normalizer
+
+    if w_fn is cubic_w and dw_fn is cubic_dw:
+        norm = _cubic_normalizer(h, dim)
+        inv_h2 = 1.0 / (h * h)
+        q2 = r2 * inv_h2
+        q = jnp.sqrt(q2)
+        # W(q): 1 + 6(q^3 - q^2) near, 2(1-q)^3 far.
+        near_w = 1.0 + (q2 * q - q2) * 6.0
+        one_q = 1.0 - q
+        far_w = one_q * one_q * one_q * 2.0
+        w = norm * jnp.where(
+            q <= 0.5, near_w, jnp.where(q <= 1.0, far_w, 0.0)
+        )
+        # dW/dr / r = norm/h^2 * [ (18q - 12)          q <= 0.5
+        #                          -6 (1-q)^2 / q      0.5 < q <= 1 ].
+        rq = jax.lax.rsqrt(jnp.maximum(q2, 1.0e-12))
+        far_d = -6.0 * one_q * one_q * rq
+        near_d = 18.0 * q - 12.0
+        cut = (q > 1.0) | (q <= 1.0e-5)  # `cubic_spline_kernel.rs:71`
+        dwr = (norm * inv_h2) * jnp.where(
+            cut, 0.0, jnp.where(q <= 0.5, near_d, far_d)
+        )
+        return w, dwr
     r = jnp.sqrt(r2)
     w = w_fn(r, h, dim)
     safe_r = jnp.where(r > EPSILON, r, 1.0)

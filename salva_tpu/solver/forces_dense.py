@@ -196,9 +196,9 @@ class ArtificialViscosityDense:
         accel = jnp.zeros_like(f.P)
 
         def grad_scale(r2):
-            r = jnp.sqrt(r2)
-            safe = jnp.where(r > EPSILON, r, 1.0)
-            return jnp.where(r > EPSILON, kg_dw(r, f.h, f.dim) / safe, 0.0)
+            from .dense_common import w_dwr
+
+            return w_dwr(r2, f.h, f.dim, kg_w, kg_dw)[1]
 
         # Fluid-fluid (same fluid, v.r < 0).
         for dpos, r2, within, j in _pairs(
@@ -298,9 +298,11 @@ class Akinci2013SurfaceTensionDense:
         badh = per_slot(self.boundary_adhesion_coefficients, f.FID)
 
         def dwr_of(r2):
-            r = jnp.sqrt(r2)
-            safe = jnp.where(r > EPSILON, r, 1.0)
-            return jnp.where(r > EPSILON, kg_dw(r, f.h, f.dim) / safe, 0.0)
+            # Shared fused evaluation (cubic fast path: one sqrt + one
+            # rsqrt per pair slot instead of sqrt + two divides).
+            from .dense_common import w_dwr
+
+            return w_dwr(r2, f.h, f.dim, kg_w, kg_dw)[1]
 
         # Pass 1: normals n_i = h sum m_j / rho_j grad (`:43-68`).
         N = jnp.zeros_like(f.P)
@@ -473,9 +475,11 @@ class He2014SurfaceTensionDense:
         bcoeff = per_slot(self.boundary_tension_coefficients, f.FID)
 
         def dwr_of(r2):
-            r = jnp.sqrt(r2)
-            safe = jnp.where(r > EPSILON, r, 1.0)
-            return jnp.where(r > EPSILON, kg_dw(r, f.h, f.dim) / safe, 0.0)
+            # Shared fused evaluation (cubic fast path: one sqrt + one
+            # rsqrt per pair slot instead of sqrt + two divides).
+            from .dense_common import w_dwr
+
+            return w_dwr(r2, f.h, f.dim, kg_w, kg_dw)[1]
 
         vol_over_rho = f.M / jnp.maximum(f.RHO, EPSILON)
 
@@ -686,9 +690,11 @@ class DFSPHViscosityDense:
         rho = jnp.maximum(f.RHO, EPSILON)
 
         def dwr_of(r2):
-            r = jnp.sqrt(r2)
-            safe = jnp.where(r > EPSILON, r, 1.0)
-            return jnp.where(r > EPSILON, kg_dw(r, f.h, f.dim) / safe, 0.0)
+            # Shared fused evaluation (cubic fast path: one sqrt + one
+            # rsqrt per pair slot instead of sqrt + two divides).
+            from .dense_common import w_dwr
+
+            return w_dwr(r2, f.h, f.dim, kg_w, kg_dw)[1]
 
         def g_rows(g):
             """Rows of G(g): list of S lists of dim entries
