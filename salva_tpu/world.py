@@ -1349,13 +1349,7 @@ class LiquidWorld:
             clamped = np.clip(pos, mins, maxs)
             d = np.linalg.norm(pos - clamped, axis=-1)
             hits = np.where(alive & (d < self.particle_radius))[0]
-            for slot in hits:
-                handle = int(owner[slot])
-                within = np.where(
-                    (owner == handle) & alive
-                )[0]
-                index = int(np.searchsorted(within, slot))
-                out.append((kind, handle, index))
+            out.extend(_slot_ids(kind, owner, alive, hits))
         return out
 
     def particles_intersecting_shape(self, shape, rotation, translation):
@@ -1383,12 +1377,33 @@ class LiquidWorld:
         ):
             d = np.asarray(world_sdf(shape, state.positions, rotation, translation))
             hits = np.where(alive & (d <= self.particle_radius))[0]
-            for slot in hits:
-                handle = int(owner[slot])
-                within = np.where((owner == handle) & alive)[0]
-                index = int(np.searchsorted(within, slot))
-                out.append((kind, handle, index))
+            out.extend(_slot_ids(kind, owner, alive, hits))
         return out
+
+
+def _slot_ids(kind, owner, alive, hits):
+    """(kind, handle, index-within-handle) tuples for hit slots.
+
+    One O(N log N) rank pass instead of an O(N) scan per hit (the old
+    form was quadratic for region queries at 1M)."""
+    live = np.flatnonzero(alive & (owner >= 0))
+    ow = owner[live]
+    order = np.argsort(ow, kind="stable")
+    so = ow[order]
+    n = len(so)
+    is_first = np.ones(n, bool)
+    if n > 1:
+        is_first[1:] = so[1:] != so[:-1]
+    first = np.maximum.accumulate(np.where(is_first, np.arange(n), 0))
+    ranks = np.empty(n, np.int64)
+    ranks[order] = np.arange(n) - first
+    idx_of_slot = np.full(len(owner), -1, np.int64)
+    idx_of_slot[live] = ranks
+    return [
+        (kind, int(owner[s]), int(idx_of_slot[s]))
+        for s in hits
+        if idx_of_slot[s] >= 0
+    ]
 
 
 def _solver_state_capacity(state) -> int:

@@ -78,6 +78,35 @@ def test_queries():
     assert n_fluid == 64
 
 
+def test_query_indices_multi_fluid_with_dead_slots():
+    """The (kind, handle, index) triples must index into the handle's
+    *live* particles even with interleaved fluids and freed slots (the
+    rank-based `_slot_ids` path)."""
+    world = LiquidWorld(
+        solver=DFSPHConfig(), particle_radius=RADIUS,
+        smoothing_factor=2.0, dim=2, neighbors=NEIGHBORS,
+    )
+    pos_a = cube_positions(4, RADIUS, 2, origin=(-0.5, 0.0))
+    pos_b = cube_positions(4, RADIUS, 2, origin=(0.3, 0.0))
+    fa = world.add_fluid(Fluid(pos_a, density0=1000.0))
+    fb = world.add_fluid(Fluid(pos_b, density0=1000.0))
+    # Free some of fluid A's slots so live slots are non-contiguous.
+    world.delete_particles(fa, [0, 3, 7])
+    hits = world.particles_intersecting_aabb((-2.0, -1.0), (2.0, 2.0))
+    per = {fa: 0, fb: 0}
+    for kind, handle, index in hits:
+        assert kind == "fluid"
+        p = world.fluid_positions(handle)[index]
+        assert -2.0 <= p[0] <= 2.0 and -1.0 <= p[1] <= 2.0
+        per[handle] += 1
+    assert per == {fa: 13, fb: 16}
+    # A half-plane AABB catching only fluid B's column.
+    right = world.particles_intersecting_aabb((0.25, -1.0), (2.0, 2.0))
+    assert {h for _, h, _ in right} == {fb}
+    idxs = sorted(i for _, _, i in right)
+    assert idxs == list(range(16))
+
+
 def test_z_sort_preserves_physics():
     world, fluid, bnd = _dam_break_world(DFSPHConfig())
     world2, fluid2, bnd2 = _dam_break_world(DFSPHConfig())

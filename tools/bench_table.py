@@ -78,7 +78,8 @@ def run_dam_row(n_target, warmup, steps):
         solver=DFSPHConfig(), particle_radius=radius, dim=3,
         neighbors=NeighborConfig(max_neighbors=64, max_candidates=224,
                                  query_chunk=65536),
-        domain=domain, layout="dense", dense_cap=12, dense_cap_boundary=16,
+        domain=domain, layout="dense", dense_cap=None,
+        dense_cap_boundary=None,
     )
     pos = cube_fluid((n_side,) * 3, radius)
     pos[:, 1] += half + radius
