@@ -1126,25 +1126,29 @@ class LiquidWorld:
 
         tm = self.timestep_manager
         tm.reset(dt)
+        # Reference CFL (`timestep_manager.rs:36-46`) uses the particles'
+        # actual accelerations. They are folded inside the jitted substep
+        # here, so recover a_i = (v - v_prev) / dt from the previous
+        # substep's velocity delta (all forces, incl. pressure); on the
+        # first substep of a step (no delta yet) fall back to gravity.
+        # Slots never permute inside the substep loop, so the delta is
+        # slot-aligned. One scalar device->host fetch per substep, only
+        # when adaptive=True.
+        prev_vel = self.fluids_state.velocities
+        inv_prev_dt = 0.0
         while not tm.is_done():
             if tm.adaptive:
-                # Reference CFL (`timestep_manager.rs:36-46`):
-                # max ||v_i + a_i * t_remaining||. Accelerations are not
-                # persistent state in this architecture (they are folded
-                # inside the jitted substep), so the one acceleration known
-                # at substep start — gravity, the dominant term — stands in
-                # for a_i.
-                v_pred = (
-                    self.fluids_state.velocities
-                    + gravity[None, :] * tm.remaining_time
-                )
-                speed = jnp.sqrt(jnp.sum(v_pred * v_pred, axis=-1))
-                vmax = float(
-                    jnp.max(jnp.where(self.fluids_state.alive, speed, 0.0))
-                )
+                vmax = float(_cfl_vmax(
+                    self.fluids_state.velocities, prev_vel,
+                    self.fluids_state.alive, gravity,
+                    jnp.float32(inv_prev_dt), jnp.float32(tm.remaining_time),
+                ))
             else:
                 vmax = 0.0
+            if tm.adaptive:
+                prev_vel = self.fluids_state.velocities
             sub_dt = tm.advance(vmax)
+            inv_prev_dt = 1.0 / sub_dt if sub_dt > 0.0 else 0.0
             if coupling is not None:
                 self.counters.cd.boundary_update_time.resume()
                 coupling.update_boundaries(self, sub_dt)
@@ -1379,6 +1383,21 @@ class LiquidWorld:
             hits = np.where(alive & (d <= self.particle_radius))[0]
             out.extend(_slot_ids(kind, owner, alive, hits))
         return out
+
+
+@jax.jit
+def _cfl_vmax(vel, prev_vel, alive, gravity, inv_prev_dt, t_rem):
+    """``max_i ||v_i + a_i * t_remaining||`` (`timestep_manager.rs:36-46`)
+    with ``a_i`` recovered from the previous substep's velocity delta;
+    gravity on the first substep of a step (``inv_prev_dt == 0``)."""
+    accel = jnp.where(
+        inv_prev_dt > 0.0,
+        (vel - prev_vel) * inv_prev_dt,
+        gravity[None, :],
+    )
+    v_pred = vel + accel * t_rem
+    speed = jnp.sqrt(jnp.sum(v_pred * v_pred, axis=-1))
+    return jnp.max(jnp.where(alive, speed, 0.0))
 
 
 def _slot_ids(kind, owner, alive, hits):
