@@ -39,5 +39,8 @@ entry-check:
 	jax.block_until_ready(jax.jit(fn)(*a)); g.dryrun_multichip(8); \
 	print('entry + multichip OK')"
 
+dist:
+	./publish.sh
+
 clean:
-	rm -rf native/build .jax_cache
+	rm -rf native/build .jax_cache dist
