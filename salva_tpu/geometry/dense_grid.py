@@ -193,11 +193,25 @@ def bin_particles(spec: DenseGridSpec, positions, alive,
 
 
 def to_grid(spec: DenseGridSpec, binned: Binned, values, fill=0.0):
-    """Scatter per-particle values into grid layout.
+    """Bring per-particle values into grid layout.
 
     [N] -> [cap, C]; [N, D] -> [D, cap, C] (component-major so all
     elementwise math runs with the big cell axis on the lanes).
+
+    When ``binned`` carries ``grid_src`` (the compact path) this is a row
+    GATHER of the slot table from the particle array — bitwise-equal to
+    the scatter formulation but per-row-bound instead of per-index-bound
+    on TPU. Other layouts fall back to scatters.
     """
+    src = getattr(binned, "grid_src", None)
+    if src is not None:
+        if values.ndim == 1:
+            ext = jnp.concatenate(
+                [values, jnp.full((1,), fill, values.dtype)]
+            )
+            return ext[src]
+        return jnp.stack([to_grid(spec, binned, values[:, d], fill)
+                          for d in range(values.shape[1])])
     if values.ndim == 1:
         flat = jnp.full((spec.num_cells * spec.cap,), fill, values.dtype)
         flat = flat.at[binned.slot_of].set(values, mode="drop")
@@ -205,6 +219,53 @@ def to_grid(spec: DenseGridSpec, binned: Binned, values, fill=0.0):
     return jnp.stack(
         [to_grid(spec, binned, values[:, d], fill) for d in range(values.shape[1])]
     )
+
+
+def to_grid_multi(spec, binned, items):
+    """Bring SEVERAL per-particle arrays into grid layout with ONE packed
+    row gather (compact layouts with ``grid_src`` only).
+
+    ``items``: list of ``(values, fill)`` with values [N] or [N, D],
+    all float32. Returns a list of [cap, A+1] / [D, cap, A+1] grids.
+    Rationale as :func:`from_grid_multi`: XLA row gathers are per-ROW
+    and payload-insensitive, so binning ch channels costs ~one gather
+    instead of ch scatters (tools/exp_shuffle3.py).
+    """
+    src = binned.grid_src
+    chans = []
+    layout = []
+    for vals, _fill in items:
+        if vals.ndim == 1:
+            chans.append(vals)
+            layout.append(1)
+        else:
+            for d in range(vals.shape[1]):
+                chans.append(vals[:, d])
+            layout.append(vals.shape[1])
+    packed = jnp.stack(chans, axis=-1)
+    packed = jnp.concatenate(
+        [packed, jnp.zeros((1, len(chans)), packed.dtype)], axis=0
+    )
+    g = packed[src]  # [cap, A+1, ch]
+    empty = src >= packed.shape[0] - 1  # [cap, A+1]
+    out = []
+    col = 0
+    for (vals, fill), d in zip(items, layout):
+        if d == 1:
+            arr = g[..., col]
+            if fill != 0.0:
+                arr = jnp.where(empty, jnp.asarray(fill, arr.dtype), arr)
+            out.append(arr)
+        else:
+            comps = []
+            for k in range(d):
+                arr = g[..., col + k]
+                if fill != 0.0:
+                    arr = jnp.where(empty, jnp.asarray(fill, arr.dtype), arr)
+                comps.append(arr)
+            out.append(jnp.stack(comps))
+        col += d
+    return out
 
 
 def from_grid_multi(spec, binned, grids):
@@ -354,7 +415,11 @@ class ActiveBinned(NamedTuple):
     - ``active_cells``: [A+1] int32 flat cell id per active slot (void and
       unused slots hold ``num_cells``);
     - ``cell_to_active``: [C+1] int32 inverse map (inactive -> A);
-    - ``active_overflow``: [] int32 occupied cells beyond A (dropped).
+    - ``active_overflow``: [] int32 occupied cells beyond A (dropped);
+    - ``grid_src``: [cap, A+1] int32 particle index feeding each slot
+      (empty slot -> N): particle->slot binning then runs as row
+      *gathers* (per-row, payload-insensitive on TPU) instead of
+      per-index-bound scatters — see :func:`to_grid_multi`.
     """
 
     slot_of: jnp.ndarray
@@ -365,6 +430,7 @@ class ActiveBinned(NamedTuple):
     overflow: jnp.ndarray
     clamped: jnp.ndarray
     active_overflow: jnp.ndarray
+    grid_src: jnp.ndarray = None
 
 
 class ActiveSpec(NamedTuple):
@@ -390,8 +456,11 @@ def bin_particles_active(spec: DenseGridSpec, max_active: int, positions,
         clamped_mask = jnp.zeros_like(clamped_mask)
     key = jnp.where(alive, cell, jnp.int32(C))
     order, rank_sorted, sk, is_first = _sorted_ranks(key)
-    is_first = is_first & (sk < C)
+    live_sorted = sk < C
+    is_first = is_first & live_sorted
     act_sorted = jnp.cumsum(is_first.astype(jnp.int32)) - 1  # active index
+    n_live = jnp.sum(live_sorted.astype(jnp.int32))
+    iota = jnp.arange(n, dtype=jnp.int32)
 
     # Active-cell table [A+1], void/unused = C.
     tgt = jnp.where(is_first & (act_sorted < A), act_sorted, A + 1)
@@ -405,19 +474,39 @@ def bin_particles_active(spec: DenseGridSpec, max_active: int, positions,
     )
     cell_to_active = cell_to_active.at[C].set(A)
 
-    rank = jnp.zeros((n,), jnp.int32).at[order].set(rank_sorted)
-    act_of = jnp.full((n,), A, jnp.int32).at[order].set(act_sorted)
-    fits = alive & (rank < cap) & (act_of >= 0) & (act_of < A)
-    oob = (A + 1) * cap
-    slot = jnp.where(fits, act_of * cap + rank, oob)
-    mask = (
-        jnp.zeros(((A + 1) * cap,), jnp.float32)
-        .at[slot]
-        .set(1.0, mode="drop")
-        .reshape(A + 1, cap)
-        .T
+    # Per-active-cell run starts in SORTED order: slot (a, r) is fed by
+    # sorted position starts[a] + r, so the particle->slot shuffle runs
+    # as row GATHERS (per-row, payload-insensitive on TPU) instead of
+    # per-index-bound scatters (tools/exp_shuffle3.py). starts[A] caps
+    # the last kept cell's run — it is the start of the first dropped
+    # cell under active overflow (act_sorted == A occurs once), else
+    # n_live — so counts never bleed across dropped cells.
+    tgt_s = jnp.where(is_first & (act_sorted <= A), act_sorted, A + 1)
+    starts = (
+        jnp.full((A + 1,), n_live, jnp.int32).at[tgt_s].set(iota, mode="drop")
     )
-    overflow = jnp.sum((alive & jnp.logical_not(fits)).astype(jnp.int32))
+    counts = jnp.concatenate(
+        [starts[1:] - starts[:-1], jnp.zeros((1,), jnp.int32)]
+    )  # [A+1]; void column = 0
+    r = jnp.arange(cap, dtype=jnp.int32)
+    col_start = jnp.concatenate([starts[:A], jnp.zeros((1,), jnp.int32)])
+    valid = r[None, :] < jnp.minimum(counts, cap)[:, None]  # [A+1, cap]
+    src_sorted = jnp.where(valid, col_start[:, None] + r[None, :], n)
+    order_ext = jnp.concatenate([order, jnp.full((1,), n, jnp.int32)])
+    grid_src = order_ext[jnp.minimum(src_sorted, n)].T  # [cap, A+1]
+    mask = valid.T.astype(jnp.float32)
+
+    fits_sorted = live_sorted & (rank_sorted < cap) & (act_sorted >= 0) & (
+        act_sorted < A
+    )
+    oob = (A + 1) * cap
+    slot_sorted = jnp.where(fits_sorted, act_sorted * cap + rank_sorted, oob)
+    # The one remaining N-sized scatter: the inverse permutation.
+    slot = jnp.full((n,), oob, jnp.int32).at[order].set(slot_sorted)
+    fits = slot < oob
+    overflow = jnp.sum(alive.astype(jnp.int32)) - jnp.sum(
+        fits_sorted.astype(jnp.int32)
+    )
     clamped = jnp.sum((alive & clamped_mask).astype(jnp.int32))
     active_overflow = jnp.sum((is_first & (act_sorted >= A)).astype(jnp.int32))
     return ActiveBinned(
@@ -429,6 +518,7 @@ def bin_particles_active(spec: DenseGridSpec, max_active: int, positions,
         overflow=overflow,
         clamped=clamped,
         active_overflow=active_overflow,
+        grid_src=grid_src,
     )
 
 

@@ -329,31 +329,56 @@ class DenseCtx:
         if halo is None:
             self.interior = None
 
-        self.P = dg.to_grid(
-            self.sf, self.binf, fluids.positions, fill=dg.POS_SENTINEL
-        )
-        self.V = dg.to_grid(self.sf, self.binf, fluids.velocities)
         self.maskf = self.binf.mask
         self.live = self.maskf > 0
         self.uniform = getattr(sim, "uniform_particles", None)
+        packed_f = getattr(self.binf, "grid_src", None) is not None
+        if packed_f:
+            # Compact layout: ALL fluid channels bin through ONE packed
+            # row gather (per-row, payload-insensitive) instead of
+            # per-channel scatters — see dense_grid.to_grid_multi.
+            f_items = [
+                (fluids.positions, dg.POS_SENTINEL),
+                (fluids.velocities, 0.0),
+            ]
+            if self.uniform is None:
+                f_items += [(fluids.masses, 0.0), (fluids.density0, 1.0)]
+            f_grids = dg.to_grid_multi(self.sf, self.binf, f_items)
+            self.P, self.V = f_grids[0], f_grids[1]
+            if self.uniform is None:
+                self.M, self.R0 = f_grids[2], f_grids[3]
+        else:
+            self.P = dg.to_grid(
+                self.sf, self.binf, fluids.positions, fill=dg.POS_SENTINEL
+            )
+            self.V = dg.to_grid(self.sf, self.binf, fluids.velocities)
+            if self.uniform is None:
+                self.M = dg.to_grid(self.sf, self.binf, fluids.masses)
+                self.R0 = dg.to_grid(
+                    self.sf, self.binf, fluids.density0, fill=1.0
+                )
         if self.uniform is not None:
-            # Constant channels derived from the mask — no scatters.
+            # Constant channels derived from the mask — no shuffle at all.
             fid, m0, rho0 = self.uniform
             self.M = self.maskf * jnp.float32(m0)
             self.R0 = jnp.where(self.live, jnp.float32(rho0), 1.0)
             self.FID = jnp.where(self.live, int(fid), -1).astype(jnp.int32)
         else:
-            self.M = dg.to_grid(self.sf, self.binf, fluids.masses)
-            self.R0 = dg.to_grid(
-                self.sf, self.binf, fluids.density0, fill=1.0
-            )
             self.FID = dg.to_grid(
                 self.sf, self.binf, fluids.fluid_id, fill=-1
             )
-        self.Pb = dg.to_grid(
-            self.sb, self.binb, boundaries.positions, fill=dg.POS_SENTINEL
-        )
-        self.Vbvel = dg.to_grid(self.sb, self.binb, boundaries.velocities)
+        if getattr(self.binb, "grid_src", None) is not None:
+            self.Pb, self.Vbvel = dg.to_grid_multi(
+                self.sb, self.binb,
+                [(boundaries.positions, dg.POS_SENTINEL),
+                 (boundaries.velocities, 0.0)],
+            )
+        else:
+            self.Pb = dg.to_grid(
+                self.sb, self.binb, boundaries.positions,
+                fill=dg.POS_SENTINEL,
+            )
+            self.Vbvel = dg.to_grid(self.sb, self.binb, boundaries.velocities)
         self.maskb = self.binb.mask
 
         self._compute_boundary_volumes()
