@@ -28,6 +28,7 @@ class FluidsPipeline:
         domain=None,
         layout: str = "auto",
         device_coupling: Optional[bool] = None,
+        fit_grid: bool = True,
     ):
         self.liquid_world = LiquidWorld(
             solver=solver if solver is not None else DFSPHConfig(),
@@ -37,6 +38,7 @@ class FluidsPipeline:
             neighbors=neighbors,
             domain=domain,
             layout=layout,
+            fit_grid=fit_grid,
         )
         self.bodies = RigidBodyWorld(dim)
         self.coupling = ColliderCouplingSet(self.bodies)

@@ -163,8 +163,11 @@ def basic3(nparticles: int = 15, particle_radius: float = 0.05,
         (-ground_half_width - 0.4, -0.6, -ground_half_width - 0.4),
         (ground_half_width + 0.4, max(2.0, top), ground_half_width + 0.4),
     )
+    # The dam traverses most of this small box (~23k cells), so the
+    # fluid-tracking window would end up ~= the domain after a few
+    # resize recompiles; skip fitting outright.
     pip = FluidsPipeline(particle_radius, 2.0, dim=3, neighbors=neighbors,
-                         domain=domain)
+                         domain=domain, fit_grid=False)
 
     pos = cube_fluid((nparticles,) * 3, particle_radius)
     pos[:, 1] += ground_thickness + nparticles * particle_radius
@@ -285,9 +288,13 @@ def surface_tension2() -> Scene:
 def surface_tension3() -> Scene:
     """3D droplet (`examples3d/surface_tension3.rs:39-60`)."""
     r = 0.005
+    # The droplet falls through most of this small box (~28k cells);
+    # fitting would resize (recompile) repeatedly during the fall for a
+    # window that ends ~= the domain.
     pip = FluidsPipeline(
         r, 2.0, dim=3,
         domain=((-0.3, -0.1, -0.3), (0.3, 0.3, 0.3)),
+        fit_grid=False,
     )
     pos = cube_fluid((7, 7, 7), r)
     pos[:, 1] += 0.08
@@ -407,9 +414,13 @@ def faucet3(particle_radius: float = 0.0125) -> Scene:
     # ~100x slower) and the emitter's occasional capacity-growth
     # recompiles amortize; on CPU the same heuristic keeps the gather
     # path (the grid exceeds its slot budget).
+    # The stream spans the full fall corridor at steady state, so the
+    # fluid-tracking window would grow (recompile) every few emitted
+    # sheets toward ~= the domain; skip fitting.
     pip = FluidsPipeline(
         particle_radius, 2.0, dim=3,
         domain=((-1.2, -2.3, -1.2), (1.2, 0.9, 1.2)),
+        fit_grid=False,
     )
     fl = pip.liquid_world.add_fluid(
         Fluid(np.zeros((0, 3), np.float32), density0=1000.0,
@@ -469,9 +480,13 @@ def heightfield3() -> Scene:
     """Fluid block launched downward at a sin/cos heightfield
     (`examples3d/heightfield3.rs`)."""
     r = 0.1
+    # The launched block splashes across the whole heightfield (~30k
+    # cells); fitting would resize-recompile through the flight for
+    # little steady-state saving.
     pip = FluidsPipeline(
         r, 2.0, dim=3,
         domain=((-6.5, -1.5, -6.5), (6.5, 5.5, 6.5)),
+        fit_grid=False,
     )
     n = 14
     pos = cube_fluid((n, n, n), r)

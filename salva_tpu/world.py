@@ -206,7 +206,12 @@ class LiquidWorld:
         # extent diagnostics.
         self._fit_grid = bool(fit_grid)
         self._fitted_dims: Optional[tuple] = None
+        self._fit_floor_dims: Optional[np.ndarray] = None
         self._initial_fit_done = False
+        # Number of window resizes so far (each one recompiles the step
+        # program — benchmarks read this to detect a compile landing
+        # inside a timed section).
+        self.grid_refit_count = 0
         self._full_bvol_stale = True
         self._last_dt = 1.0 / 60.0
         self.sim = SimConfig(
@@ -873,13 +878,24 @@ class LiquidWorld:
             self._force_set = self._build_force_set()
         if self._elasticity_dirty:
             self._rebuild_elasticity_state()
-        if self._solver_state is None or (
-            _solver_state_capacity(self._solver_state)
-            != self.fluids_state.capacity
-        ):
-            self._solver_state = init_solver_state(
-                self.solver_config, self.fluids_state.capacity, self.dim
-            )
+        expected = init_solver_state(
+            self.solver_config, self.fluids_state.capacity, self.dim
+        )
+        st = self._solver_state
+        if st is None:
+            self._solver_state = expected
+        elif st.shape != expected.shape:
+            if (
+                st.ndim == 2
+                and expected.ndim == 2
+                and st.shape[0] == expected.shape[0]
+                and st.shape[1] < expected.shape[1]
+            ):
+                # Legacy DFSPH state (velocity_changes only): keep it and
+                # zero-init the added warm-start stiffness columns.
+                self._solver_state = expected.at[:, : st.shape[1]].set(st)
+            else:
+                self._solver_state = expected
 
     def step(self, dt: float, gravity):
         """Advance the simulation by dt seconds (`liquid_world.rs:62-64`)."""
@@ -969,7 +985,12 @@ class LiquidWorld:
         on-device origin places the fluid 2 cells in), a high-side slack
         covering extent growth until the next check (vmax-scaled), and
         rounding. Dims quantize to 4-cell steps so small extent changes
-        do not recompile; growth is also caught by the clamp counter."""
+        do not recompile; on growth the new dims overshoot the old ones
+        geometrically (x1.3 per axis) so a steadily spreading fluid
+        triggers O(log extent) recompiles, not one per 4-cell crossing —
+        each resize is a fresh XLA compile, which costs far more than the
+        overshot vacuum cells. ``reserve_grid_window`` sets a floor that
+        growth never dips below (and hysteresis never shrinks under)."""
         h = self.sim.h
         full = self._full_grid_dims()
         extent = np.ceil((np.asarray(hi) - np.asarray(lo)) / h).astype(int)
@@ -981,18 +1002,51 @@ class LiquidWorld:
         dims = need + 4 + min(grow, 16)  # low margin + high slack
         dims = (np.ceil(dims / 4.0) * 4).astype(int)
         dims = np.minimum(np.maximum(dims, 8), full)
+        if self._fit_floor_dims is not None:
+            dims = np.minimum(np.maximum(dims, self._fit_floor_dims), full)
 
         cur = self._fitted_dims
+        growing = False
         if cur is not None:
             cur = np.asarray(cur)
             ok = (cur >= need + 4).all()  # still room for margins
             not_bloated = float(np.prod(cur)) <= 1.7 * float(np.prod(dims))
             if ok and not_bloated:
                 return
+            growing = not ok
+        if growing:
+            overshoot = (np.ceil(cur * 1.3 / 4.0) * 4).astype(int)
+            dims = np.minimum(np.maximum(dims, overshoot), full)
         if float(np.prod(dims)) >= 0.85 * float(np.prod(full)):
-            self._fitted_dims = None  # window ~= domain: not worth it
+            new = None  # window ~= domain: not worth it
         else:
-            self._fitted_dims = tuple(int(v) for v in dims)
+            new = tuple(int(v) for v in dims)
+        if new != self._fitted_dims:
+            self._fitted_dims = new
+            self.grid_refit_count += 1
+
+    def reserve_grid_window(self, mins, maxs):
+        """Declare the extent the fluid is expected to reach, sizing the
+        fitted grid window (``config.fitted_dims``) to cover it up front.
+        A scene that knows its fluid's travel corridor (an emitter
+        stream, a launched block) calls this once at setup so window
+        growth never recompiles the step mid-run — the analog of
+        ``reserve_fluid_capacity`` for the spatial axis."""
+        if not self._fit_grid or self.sim.domain is None:
+            return
+        h = self.sim.h
+        extent = np.ceil(
+            (np.asarray(maxs, np.float64) - np.asarray(mins, np.float64)) / h
+        ).astype(int)
+        dims = extent + 1 + 4 + 4
+        dims = (np.ceil(dims / 4.0) * 4).astype(int)
+        self._fit_floor_dims = np.minimum(
+            np.maximum(dims, 8), self._full_grid_dims()
+        )
+        if self._initial_fit_done:
+            # Re-run sizing so an already-fitted window widens now (one
+            # recompile here, none later).
+            self._refit_dims(mins, maxs, 0.0)
 
     def _refresh_full_boundary_volumes(self):
         """One-time full-extent boundary-boundary volume pass so wall
@@ -1431,7 +1485,7 @@ def _solver_state_capacity(state) -> int:
 
 def _grow_solver_state(state, new_cap: int, dim: int):
     if state.ndim == 2:
-        new = jnp.zeros((new_cap, dim), state.dtype)
+        new = jnp.zeros((new_cap, state.shape[1]), state.dtype)
     else:
         new = jnp.zeros((new_cap,), state.dtype)
     return new.at[: state.shape[0]].set(state)

@@ -403,3 +403,51 @@ def test_fitted_grid_matches_full_domain():
     np.testing.assert_allclose(pa, pb, atol=2e-5)
     # No particle was clamped against the fitted box.
     assert int(wa.last_diagnostics.candidate_overflow) == 0
+
+
+def _fit_world():
+    return LiquidWorld(
+        particle_radius=RADIUS, dim=2,
+        neighbors=NeighborConfig(max_neighbors=64, max_candidates=160,
+                                 query_chunk=4096),
+        domain=((-4.0, -0.3), (4.0, 30.0)), layout="dense",
+    )
+
+
+def test_refit_growth_overshoots_geometrically():
+    """Window growth overshoots (x1.3/axis) so a steadily spreading
+    fluid recompiles O(log extent) times, not once per 4-cell crossing
+    (every resize is a full XLA recompile)."""
+    w = _fit_world()
+    w._fitted_dims = (16, 16)
+    # Extent needing 17 cells: one past the current room.
+    w._refit_dims(np.array([0.0, 0.0]), np.array([17 * w.sim.h] * 2), 0.0)
+    assert w.grid_refit_count == 1
+    # Quantized need would be 28; the x1.3 overshoot floor is
+    # ceil(16*1.3/4)*4 = 24 — dominated here, but dims must be >= both.
+    assert all(d >= 24 for d in w._fitted_dims)
+    big = w._fitted_dims
+    # Growing by one more cell must NOT resize again (overshoot slack).
+    w._refit_dims(np.array([0.0, 0.0]),
+                  np.array([18 * w.sim.h] * 2), 0.0)
+    assert w._fitted_dims == big and w.grid_refit_count == 1
+
+
+def test_reserve_grid_window_sets_floor():
+    """reserve_grid_window pre-sizes the window to the declared corridor
+    and hysteresis never shrinks below it (the reserve exists so mid-run
+    growth recompiles cannot happen)."""
+    w = _fit_world()
+    w.reserve_grid_window((-1.0, -0.3), (1.0, 10.0))
+    floor = w._fit_floor_dims
+    assert floor is not None and floor[1] >= 10.0 / w.sim.h
+    # A tiny live extent still yields dims >= the floor, and repeated
+    # refits at that extent never resize (no shrink-below-floor churn).
+    w._refit_dims(np.array([0.0, 0.0]), np.array([0.4, 0.4]), 0.0)
+    c0 = w.grid_refit_count
+    dims0 = w._fitted_dims
+    assert dims0 is not None and all(
+        d >= f for d, f in zip(dims0, floor))
+    for _ in range(3):
+        w._refit_dims(np.array([0.0, 0.0]), np.array([0.4, 0.4]), 0.0)
+    assert w._fitted_dims == dims0 and w.grid_refit_count == c0

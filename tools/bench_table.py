@@ -35,17 +35,32 @@ def _fence(world):
     return float(jnp.sum(world.fluids_state.positions))
 
 
+def _timed(world, advance, steps):
+    """Time ``advance(steps)``, rerunning (<=2x) if a fitted-window
+    resize recompiled the step inside the window — a resize costs a full
+    XLA compile (minutes over the tunnel), which is setup cost, not
+    throughput; the rerun measures the now-compiled steady state. The
+    refit count is reported either way so a still-growing window is
+    visible in the row."""
+    for attempt in range(3):
+        r0 = world.grid_refit_count
+        _fence(world)
+        t0 = time.perf_counter()
+        advance(steps)
+        _fence(world)
+        elapsed = time.perf_counter() - t0
+        refits = world.grid_refit_count - r0
+        if refits == 0 or attempt == 2:
+            return elapsed, refits
+
+
 def run_scene_row(name, warmup, steps):
     from salva_tpu import scenes
 
     scene = scenes.SCENES[name]()
     world = scene.world
     scenes.run(scene, warmup)
-    _fence(world)
-    t0 = time.perf_counter()
-    scenes.run(scene, steps)
-    _fence(world)
-    elapsed = time.perf_counter() - t0
+    elapsed, refits = _timed(world, lambda s: scenes.run(scene, s), steps)
     n = int(np.asarray(world.fluids_state.alive).sum())
     d = world.last_diagnostics
     return {
@@ -57,6 +72,7 @@ def run_scene_row(name, warmup, steps):
         "pressure_iters": int(d.solver.pressure_iters),
         "divergence_iters": int(d.solver.divergence_iters),
         "neighbor_overflow": int(d.neighbor_overflow),
+        "grid_refits": refits,
     }
 
 
@@ -94,12 +110,12 @@ def run_dam_row(n_target, warmup, steps):
     dt, g = 1.0 / 200.0, (0.0, -9.81, 0.0)
     for _ in range(warmup):
         world.step(dt, g)
-    _fence(world)
-    t0 = time.perf_counter()
-    for _ in range(steps):
-        world.step(dt, g)
-    _fence(world)
-    elapsed = time.perf_counter() - t0
+
+    def advance(s):
+        for _ in range(s):
+            world.step(dt, g)
+
+    elapsed, refits = _timed(world, advance, steps)
     n = int(np.asarray(world.fluids_state.alive).sum())
     d = world.last_diagnostics
     return {
@@ -111,6 +127,7 @@ def run_dam_row(n_target, warmup, steps):
         "pressure_iters": int(d.solver.pressure_iters),
         "divergence_iters": int(d.solver.divergence_iters),
         "neighbor_overflow": int(d.neighbor_overflow),
+        "grid_refits": refits,
     }
 
 
@@ -145,22 +162,23 @@ def main():
         print(f"... dam {n} done", file=sys.stderr, flush=True)
 
     hdr = ("| config | N | ms/step | particle-steps/s | density err "
-           "| p_iters | d_iters | overflow |")
+           "| p_iters | d_iters | overflow | refits |")
     print(hdr)
-    print("|" + "---|" * 8)
+    print("|" + "---|" * 9)
     with open(args.out, "w") as f:
         for r in rows:
             f.write(json.dumps(r) + "\n")
             if "error" in r:
                 print(f"| {r['config']} | ERROR: {r['error'][:60]} |" +
-                      " |" * 6)
+                      " |" * 7)
             else:
                 print(
                     f"| {r['config']} | {r['n_particles']} "
                     f"| {r['ms_per_step']:.1f} "
                     f"| {r['particle_steps_per_sec']:.3g} "
                     f"| {r['density_error']:.4f} | {r['pressure_iters']} "
-                    f"| {r['divergence_iters']} | {r['neighbor_overflow']} |"
+                    f"| {r['divergence_iters']} | {r['neighbor_overflow']} "
+                    f"| {r.get('grid_refits', 0)} |"
                 )
     print(f"(written to {args.out})", file=sys.stderr)
 
