@@ -61,6 +61,14 @@ class DFSPHConfig:
     max_divergence_error: float = 0.1
     # ``None`` means the dim-dependent reference default (6 in 2D, 20 in 3D).
     min_neighbors_for_divergence_solve: Optional[int] = None
+    # Warm-start factor: each solve's initial stiffness guess is
+    # ``warm_start x`` the previous step's accumulated stiffness (the
+    # SPlisHSPlasH DFSPH warm start; the reference solver is cold-started
+    # every step, `dfsph_solver.rs:432-503`). The converged state still
+    # satisfies the same tolerances — this only cuts iterations (the
+    # step cost is ~linear in them). 0.0 disables (exact reference
+    # trajectory); 0.5 is the damped standard choice.
+    warm_start: float = 0.5
 
     kind: str = dataclasses.field(default="dfsph", init=False)
 

@@ -148,9 +148,40 @@ def _scatter_ksum_forces(ctx: StepContext, bforces, ksum, extra_inv_dt: bool):
     return scatter_boundary_forces(bforces, ctx.fb, contrib)
 
 
+def _apply_pressure_kappa(ctx: StepContext, velocity_changes, ki_plus):
+    """Apply a GIVEN clamped pressure stiffness field (one pair pass) —
+    the body of `pressure_velocity_changes` factored so the warm-start
+    kick reuses the exact iteration algebra."""
+    kij = ki_plus[:, None] + ki_plus[ctx.ff.j]
+    coeff = jnp.where(kij > 0.0, kij * ctx.ff_mass_j(), 0.0)
+    dv = -jnp.sum(ctx.ff.grad * (coeff * ctx.inv_dt)[..., None], axis=1)
+    coeff_b = ki_plus[:, None] * ctx.fb_mass_j()
+    dv = dv - jnp.sum(ctx.fb.grad * (coeff_b * ctx.inv_dt)[..., None], axis=1)
+    return velocity_changes + dv
+
+
+def _apply_divergence_kappa(ctx: StepContext, velocity_changes, ki):
+    """Divergence twin of `_apply_pressure_kappa` (no inv_dt scaling)."""
+    kj = ki[ctx.ff.j]
+    coeff = -(ki[:, None] + kj) * ctx.ff_mass_j()
+    dv = jnp.sum(ctx.ff.grad * coeff[..., None], axis=1)
+    coeff_b = -ki[:, None] * ctx.fb_mass_j()
+    dv = dv + jnp.sum(ctx.fb.grad * coeff_b[..., None], axis=1)
+    return velocity_changes + dv
+
+
 def pressure_solve(cfg: DFSPHConfig, ctx: StepContext, velocity_changes,
-                   bforces, alphas):
-    """The constant-density loop (`dfsph_solver.rs:432-464`)."""
+                   bforces, alphas, kp_warm=None):
+    """The constant-density loop (`dfsph_solver.rs:432-464`), optionally
+    warm-started from the previous step's stiffness sum (cfg.warm_start)."""
+
+    ksum0 = jnp.zeros_like(alphas)
+    warm = float(getattr(cfg, "warm_start", 0.0))
+    if kp_warm is not None and warm > 0.0:
+        k0 = jnp.maximum(kp_warm * jnp.float32(warm), 0.0)
+        k0 = jnp.where(ctx.fluids.alive, k0, 0.0)
+        velocity_changes = _apply_pressure_kappa(ctx, velocity_changes, k0)
+        ksum0 = k0
 
     def body(carry):
         i, dv, ksum, _, _ = carry
@@ -172,20 +203,29 @@ def pressure_solve(cfg: DFSPHConfig, ctx: StepContext, velocity_changes,
     init = (
         jnp.zeros((), jnp.int32),
         velocity_changes,
-        jnp.zeros_like(alphas),
+        ksum0,
         jnp.zeros((), jnp.float32),
         jnp.zeros((), bool),
     )
     iters, dv, ksum, err, _ = jax.lax.while_loop(cond, body, init)
     bforces = _scatter_ksum_forces(ctx, bforces, ksum, extra_inv_dt=True)
-    return dv, bforces, iters, err
+    return dv, bforces, iters, err, ksum
 
 
 def divergence_solve(cfg: DFSPHConfig, ctx: StepContext, velocity_changes,
-                     bforces, alphas, min_neighbors: int):
+                     bforces, alphas, min_neighbors: int, kd_warm=None):
     """The divergence-free loop (`dfsph_solver.rs:466-503`); note the
-    tolerance scaling ``max_divergence_error * inv_dt * 0.01``."""
+    tolerance scaling ``max_divergence_error * inv_dt * 0.01``. Optionally
+    warm-started (cfg.warm_start)."""
     max_err = cfg.max_divergence_error * ctx.inv_dt * 0.01
+
+    ksum0 = jnp.zeros_like(alphas)
+    warm = float(getattr(cfg, "warm_start", 0.0))
+    if kd_warm is not None and warm > 0.0:
+        k0 = jnp.maximum(kd_warm * jnp.float32(warm), 0.0)
+        k0 = jnp.where(ctx.fluids.alive, k0, 0.0)
+        velocity_changes = _apply_divergence_kappa(ctx, velocity_changes, k0)
+        ksum0 = k0
 
     def body(carry):
         i, dv, ksum, _, _ = carry
@@ -207,19 +247,19 @@ def divergence_solve(cfg: DFSPHConfig, ctx: StepContext, velocity_changes,
     init = (
         jnp.zeros((), jnp.int32),
         velocity_changes,
-        jnp.zeros_like(alphas),
+        ksum0,
         jnp.zeros((), jnp.float32),
         jnp.zeros((), bool),
     )
     iters, dv, ksum, err, _ = jax.lax.while_loop(cond, body, init)
     bforces = _scatter_ksum_forces(ctx, bforces, ksum, extra_inv_dt=False)
-    return dv, bforces, iters, err
+    return dv, bforces, iters, err, ksum
 
 
 def step(
     cfg: DFSPHConfig,
     ctx: StepContext,
-    velocity_changes,
+    solver_state,
     gravity,
     apply_nonpressure_forces,
 ):
@@ -229,16 +269,24 @@ def step(
     is injected by the world (it closes over the force set and any force
     state).
 
-    Returns (fluids', boundary_forces, velocity_changes', diagnostics).
+    ``solver_state``: [capacity, dim+2] — velocity changes plus the
+    previous step's divergence / pressure stiffness sums (warm start;
+    see `step.init_solver_state`).
+
+    Returns (fluids', boundary_forces, solver_state', diagnostics).
     """
     fl = ctx.fluids
+    dim = ctx.dim
+    velocity_changes = solver_state[:, :dim]
+    kd_warm = solver_state[:, dim]
+    kp_warm = solver_state[:, dim + 1]
     min_nb = cfg.min_neighbors(ctx.dim)
     bforces = jnp.zeros_like(ctx.boundaries.forces)
 
     alphas = compute_alphas(ctx)
 
-    dv, bforces, div_iters, div_err = divergence_solve(
-        cfg, ctx, velocity_changes, bforces, alphas, min_nb
+    dv, bforces, div_iters, div_err, ksum_d = divergence_solve(
+        cfg, ctx, velocity_changes, bforces, alphas, min_nb, kd_warm
     )
 
     # Commit the divergence-corrected velocities (`:688-691`).
@@ -256,7 +304,9 @@ def step(
     # integrate_and_clear_accelerations (`:505-518`).
     dv = dv + jnp.where(fl.alive[:, None], accel * ctx.dt, 0.0)
 
-    dv, bforces, p_iters, p_err = pressure_solve(cfg, ctx, dv, bforces, alphas)
+    dv, bforces, p_iters, p_err, ksum_p = pressure_solve(
+        cfg, ctx, dv, bforces, alphas, kp_warm
+    )
 
     # update_positions (`:411-420`): x += (v + dv) * dt. Note dv is NOT
     # folded into v here — it carries into the next step's divergence solve.
@@ -271,4 +321,7 @@ def step(
         divergence_iters=div_iters,
         divergence_error=div_err,
     )
-    return fl, bforces, dv, diag
+    new_state = jnp.concatenate(
+        [dv, ksum_d[:, None], ksum_p[:, None]], axis=1
+    )
+    return fl, bforces, new_state, diag

@@ -49,8 +49,10 @@ def build_dense_substep(sim: SimConfig, cfg: DFSPHConfig, num_fluids: int,
     dim = sim.dim
     min_nb = cfg.min_neighbors(dim)
 
+    warm = float(getattr(cfg, "warm_start", 0.0))
+
     def substep(fluids: FluidsState, boundaries: BoundariesState,
-                velocity_changes, es, dt, gravity):
+                solver_state, es, dt, gravity):
         dt = jnp.asarray(dt, jnp.float32)
         inv_dt = jnp.where(dt > 0, 1.0 / dt, 0.0)
         boundaries = boundaries.clear_forces()
@@ -61,7 +63,12 @@ def build_dense_substep(sim: SimConfig, cfg: DFSPHConfig, num_fluids: int,
             need_s2=False,  # s2_ff / s2_m are IISPH-only sums
         )
         maskf, live, R0 = ctx.maskf, ctx.live, ctx.R0
-        DV = ctx.to_f(velocity_changes)
+        # solver_state: [:, :dim] velocity changes, [:, dim] / [:, dim+1]
+        # the previous step's divergence / pressure stiffness sums (the
+        # warm start; see step.init_solver_state).
+        SG = ctx.to_f(solver_state)  # [dim+2, cap, C]
+        DV = SG[:dim]
+        kd_prev, kp_prev = SG[dim], SG[dim + 1]
 
         # alpha_i (`dfsph_solver.rs:165-216`): 1 / (sum|m grad|^2 +
         # |sum m grad|^2), eps-guarded.
@@ -71,6 +78,20 @@ def build_dense_substep(sim: SimConfig, cfg: DFSPHConfig, num_fluids: int,
 
         # --- divergence solve (`dfsph_solver.rs:466-503`)
         max_div_err = cfg.max_divergence_error * inv_dt * 0.01
+
+        # Warm start: apply a damped version of the previous step's
+        # accumulated divergence stiffness before iterating (one extra
+        # k_pass; saves iterations worth two passes each). The kick is
+        # part of ksum so the boundary-force feedback stays exact.
+        ksum0_d = jnp.zeros_like(maskf)
+        if warm > 0.0:
+            k0 = jnp.maximum(kd_prev * jnp.float32(warm), 0.0) * maskf
+            if halo is not None:
+                k0 = halo.exchange(k0)
+            DV = DV - (k0[None] * ctx.Gsum + ctx.k_pass(k0))
+            if halo is not None:
+                DV = halo.exchange(DV)
+            ksum0_d = k0
 
         def div_body(carry):
             i, dv, ksum, _, _ = carry
@@ -106,7 +127,7 @@ def build_dense_substep(sim: SimConfig, cfg: DFSPHConfig, num_fluids: int,
 
         div_iters, DV, ksum_d, div_err, _ = jax.lax.while_loop(
             div_cond, div_body,
-            (jnp.zeros((), jnp.int32), DV, jnp.zeros_like(maskf),
+            (jnp.zeros((), jnp.int32), DV, ksum0_d,
              jnp.zeros((), jnp.float32), jnp.zeros((), bool)),
         )
 
@@ -156,6 +177,18 @@ def build_dense_substep(sim: SimConfig, cfg: DFSPHConfig, num_fluids: int,
             DV = halo.exchange(DV)
 
         # --- pressure solve (`dfsph_solver.rs:432-464`)
+        # Warm start (same structure as the divergence kick; the pressure
+        # update scales by inv_dt).
+        ksum0_p = jnp.zeros_like(maskf)
+        if warm > 0.0:
+            kp0 = jnp.maximum(kp_prev * jnp.float32(warm), 0.0) * maskf
+            if halo is not None:
+                kp0 = halo.exchange(kp0)
+            DV = DV - (kp0[None] * ctx.Gsum + ctx.k_pass(kp0)) * inv_dt
+            if halo is not None:
+                DV = halo.exchange(DV)
+            ksum0_p = kp0
+
         def p_body(carry):
             i, dv, ksum, _, _ = carry
             predicted = ctx.rho + ctx.delta_density(V2 + dv) * dt
@@ -187,7 +220,7 @@ def build_dense_substep(sim: SimConfig, cfg: DFSPHConfig, num_fluids: int,
 
         p_iters, DV, ksum_p, p_err, _ = jax.lax.while_loop(
             p_cond, p_body,
-            (jnp.zeros((), jnp.int32), DV, jnp.zeros_like(maskf),
+            (jnp.zeros((), jnp.int32), DV, ksum0_p,
              jnp.zeros((), jnp.float32), jnp.zeros((), bool)),
         )
 
@@ -201,11 +234,16 @@ def build_dense_substep(sim: SimConfig, cfg: DFSPHConfig, num_fluids: int,
         Fb = ctx.boundary_forces(coef) + np_Fb
 
         # --- unbin back to particle arrays (one packed row gather)
-        new_pos, new_vel, new_dv = ctx.unbin_f_multi([
+        new_pos, new_vel, new_dv, new_kd, new_kp = ctx.unbin_f_multi([
             (P2, fluids.positions),
             (V2, fluids.velocities),
-            (DV, velocity_changes),
+            (DV, solver_state[:, :dim]),
+            (ksum_d, solver_state[:, dim]),
+            (ksum_p, solver_state[:, dim + 1]),
         ])
+        new_state = jnp.concatenate(
+            [new_dv, new_kd[:, None], new_kp[:, None]], axis=1
+        )
         fluids = fluids.replace(positions=new_pos, velocities=new_vel)
         b_forces, b_volumes = ctx.unbin_b_multi([
             (Fb, boundaries.forces * 0.0),
@@ -243,6 +281,6 @@ def build_dense_substep(sim: SimConfig, cfg: DFSPHConfig, num_fluids: int,
             candidate_overflow=candidate_overflow,
             max_density_ratio=max_rho,
         )
-        return fluids, boundaries, new_dv, diag
+        return fluids, boundaries, new_state, diag
 
     return substep

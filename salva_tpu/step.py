@@ -57,11 +57,14 @@ class StepDiagnostics:
 
 
 def init_solver_state(solver_cfg, capacity: int, dim: int):
-    """Persistent solver scratch: DFSPH carries velocity_changes across
-    steps (`dfsph_solver.rs:44,688-691`); IISPH carries warm-started
-    pressures (`iisph_solver.rs:35,673-677`)."""
+    """Persistent solver scratch: DFSPH carries velocity_changes plus the
+    warm-start stiffness sums across steps (`dfsph_solver.rs:44,688-691`
+    for the velocity changes; columns [dim] / [dim+1] hold the previous
+    divergence / pressure stiffness for the warm start, packed into one
+    array so z-sort / capacity growth / checkpointing stay shape-generic);
+    IISPH carries warm-started pressures (`iisph_solver.rs:35,673-677`)."""
     if solver_cfg.kind == "dfsph":
-        return jnp.zeros((capacity, dim), jnp.float32)
+        return jnp.zeros((capacity, dim + 2), jnp.float32)
     if solver_cfg.kind == "iisph":
         return jnp.zeros((capacity,), jnp.float32)
     raise ValueError(f"unknown solver kind {solver_cfg.kind!r}")

@@ -60,7 +60,9 @@ def test_free_fall_matches_gravity():
     # DFSPH holds the last substep's velocity change in its persistent
     # scratch until the next step commits it (`dfsph_solver.rs:688`), so the
     # full velocity is v + dv.
-    vy = (np.asarray(fluids.velocities) + np.asarray(state))[alive, 1]
+    # state columns [:dim] are the velocity changes (the trailing two are
+    # the warm-start stiffness sums).
+    vy = (np.asarray(fluids.velocities) + np.asarray(state)[:, :2])[alive, 1]
     expected = -9.81 * dt * nsteps
     np.testing.assert_allclose(vy.mean(), expected, rtol=0.05)
     assert np.all(np.isfinite(np.asarray(fluids.positions)))
@@ -113,6 +115,42 @@ def test_dead_particles_do_not_move():
     pos1 = np.asarray(fluids.positions)
     np.testing.assert_array_equal(pos0[~alive], pos1[~alive])
     assert np.all(pos1[alive][:, 1] < pos0[alive][:, 1])  # falling
+
+
+def test_warm_start_cuts_iterations_within_tolerance():
+    """The warm start (cfg.warm_start, SPlisHSPlasH-style) must (a) keep
+    the converged errors inside the same tolerances and (b) not need
+    more solver iterations than a cold start on a sustained-compression
+    run — its whole point is fewer iterations at equal tolerance."""
+    from salva_tpu.config import DFSPHConfig
+
+    def run(warm):
+        cfg = DFSPHConfig(warm_start=warm)
+        pos = cube_positions(8, RADIUS, 2)
+        fluids = make_fluids(pos, RADIUS, 2)
+        # Compress so the solves have real work every step.
+        fluids = fluids.replace(positions=fluids.positions * 0.93)
+        boundaries = make_boundaries(None, 2)
+        step = get_jitted_step_fn(SIM2D, cfg, ForceSet(), 1)
+        state = init_solver_state(cfg, fluids.capacity, 2)
+        gravity = jnp.zeros((2,), jnp.float32)
+        iters = 0
+        for _ in range(8):
+            fluids, boundaries, state, diag = step(
+                fluids, boundaries, state, None, 1.0 / 200.0, gravity
+            )
+            iters += int(diag.solver.pressure_iters) + int(
+                diag.solver.divergence_iters
+            )
+            assert float(diag.solver.pressure_error) <= 0.05 + 1e-6
+        return iters, np.asarray(fluids.positions)
+
+    cold_iters, cold_pos = run(0.0)
+    warm_iters, warm_pos = run(0.5)
+    assert warm_iters <= cold_iters, (warm_iters, cold_iters)
+    # Same physics to solver tolerance (not bitwise: different
+    # trajectories through the same fixed point).
+    np.testing.assert_allclose(warm_pos, cold_pos, atol=5e-3)
 
 
 def test_dfsph_viscosity_operator_descends_and_upstream_gain_diverges():
