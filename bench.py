@@ -77,6 +77,9 @@ def main():
             dense_frozen_pairs=True,
             dense_pair_dtype=os.environ.get("BENCH_PAIR_DTYPE", "float32"),
         )
+    if os.environ.get("BENCH_PALLAS"):
+        # Occupancy-skipping Pallas pair kernels for the iteration passes.
+        world.sim = world.sim.replace(use_pallas=True)
     pos = cube_fluid((n_side, n_side, n_side), radius)
     # Dam break with impact inside the measured window: the block starts
     # one radius above the floor moving down at 2 m/s, so the timed steps

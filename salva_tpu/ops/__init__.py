@@ -1,5 +1,10 @@
 """Hand-fused TPU kernels (Pallas) for the hot dense-pair passes."""
 
-from .pallas_pair import PALLAS_OK, k_pass_pallas, t_pass_pallas
+from .pallas_pair import (
+    PALLAS_OK,
+    hoist_ff_pallas,
+    k_pass_pallas,
+    t_pass_pallas,
+)
 
-__all__ = ["t_pass_pallas", "k_pass_pallas", "PALLAS_OK"]
+__all__ = ["t_pass_pallas", "k_pass_pallas", "hoist_ff_pallas", "PALLAS_OK"]

@@ -1,12 +1,16 @@
 """Pallas TPU kernels for the per-iteration dense pair passes.
 
 The XLA lowering of ``DenseCtx.t_pass`` / ``k_pass`` (27 shifted views,
-``[cap_i, cap_j, C]`` pair blocks) measures ~5x off compute-bound at 27k
-particles — the shifted operands and pair intermediates round-trip HBM.
-These kernels tile the flat cell axis C: each program DMAs its tile plus a
-halo window of ``W = flat_shift((1,..,1))`` cells into VMEM once, then
-walks all 3^dim neighbor offsets as *static slices* of the window,
-accumulating entirely on-chip.
+``[cap_i, cap_j, C]`` pair blocks) computes every pair slot of every
+cell — including the 45-70% of window cells that are air at dam-break
+states. These kernels tile the flat cell axis C: each program DMAs its
+tile plus a halo window of ``W = flat_shift((1,..,1))`` cells into VMEM
+once, then walks all 3^dim neighbor offsets as *static slices* of the
+window, accumulating entirely on-chip — and each program first checks a
+prefetched per-tile occupancy flag, skipping DMA and compute outright
+for air tiles (``@pl.when``). That skip is the structural advantage over
+the XLA folds, which cannot express data-dependent work elision; the
+kernel's pair math itself (fused cubic dW/r) is identical.
 
 Correctness mirrors the XLA path exactly: empty slots carry the far
 position sentinel (kernel support zeroes their terms) and zero masses, so
@@ -50,6 +54,29 @@ def _shifts(spec: dg.DenseGridSpec) -> Tuple[int, ...]:
 
 
 def _grad_scale_fn(kernel_gradient: str, h: float, dim: int):
+    if kernel_gradient == "cubic":
+        # Fused dW/dr / r straight from r^2 — one sqrt + one rsqrt, no
+        # division; bit-identical to the XLA folds' fast path
+        # (dense_common.w_dwr), which these kernels must reproduce.
+        from ..kernels.sph import _cubic_normalizer
+
+        inv_h2 = 1.0 / (h * h)
+        scale = _cubic_normalizer(h, dim) * inv_h2
+
+        def dwr_of(r2):
+            q2 = r2 * inv_h2
+            q = jnp.sqrt(q2)
+            one_q = 1.0 - q
+            rq = jax.lax.rsqrt(jnp.maximum(q2, 1.0e-12))
+            far_d = -6.0 * one_q * one_q * rq
+            near_d = 18.0 * q - 12.0
+            cut = (q > 1.0) | (q <= 1.0e-5)
+            return scale * jnp.where(
+                cut, 0.0, jnp.where(q <= 0.5, near_d, far_d)
+            )
+
+        return dwr_of
+
     _, kg_dw = get_kernel(kernel_gradient)
 
     def dwr_of(r2):
@@ -86,95 +113,312 @@ def _build_t_kernel(spec, h, dim, tile, kernel_gradient):
     win = tile + 2 * w
     dwr_of = _grad_scale_fn(kernel_gradient, h, dim)
 
-    def kernel(p_hbm, m_hbm, q_hbm, out_ref, pwin, mwin, qwin, sem):
+    def kernel(occ_ref, p_hbm, m_hbm, q_hbm, out_ref, pwin, mwin, qwin,
+               sem):
         i = pl.program_id(0)
-        c0 = i * tile  # window start in padded coords
-        cps = [
-            pltpu.make_async_copy(
-                p_hbm.at[:, :, pl.ds(c0, win)], pwin, sem.at[0]
-            ),
-            pltpu.make_async_copy(
-                m_hbm.at[:, pl.ds(c0, win)], mwin, sem.at[1]
-            ),
-            pltpu.make_async_copy(
-                q_hbm.at[:, :, pl.ds(c0, win)], qwin, sem.at[2]
-            ),
-        ]
-        for cp in cps:
-            cp.start()
-        for cp in cps:
-            cp.wait()
 
-        # Load whole windows as values once; the per-offset unaligned
-        # slices then happen at value level (Mosaic lowers them to vector
-        # shifts — ref slices at non-128-aligned offsets don't compile).
-        pw = [pwin[d] for d in range(dim)]
-        mw = mwin[:, :]
-        qw = [qwin[d] for d in range(dim)]
-        own_p = [
-            jax.lax.slice_in_dim(pw[d], w, w + tile, axis=1)
-            for d in range(dim)
-        ]
-        acc = jnp.zeros((cap, tile), jnp.float32)
-        for s in shifts:
-            base = w + s
-            pj = [
-                jax.lax.slice_in_dim(pw[d], base, base + tile, axis=1)
+        # Occupancy skip — the structural edge over the XLA folds: a tile
+        # with no live i-particle produces only zeros, so skip its DMA
+        # and its 3^dim pair blocks entirely (work becomes proportional
+        # to OCCUPIED tiles; the fitted window still holds 45-70% air).
+        @pl.when(occ_ref[i] == 0)
+        def _skip():
+            out_ref[:, :] = jnp.zeros((cap, tile), jnp.float32)
+
+        @pl.when(occ_ref[i] != 0)
+        def _compute():
+            c0 = i * tile  # window start in padded coords
+            cps = [
+                pltpu.make_async_copy(
+                    p_hbm.at[:, :, pl.ds(c0, win)], pwin, sem.at[0]
+                ),
+                pltpu.make_async_copy(
+                    m_hbm.at[:, pl.ds(c0, win)], mwin, sem.at[1]
+                ),
+                pltpu.make_async_copy(
+                    q_hbm.at[:, :, pl.ds(c0, win)], qwin, sem.at[2]
+                ),
+            ]
+            for cp in cps:
+                cp.start()
+            for cp in cps:
+                cp.wait()
+
+            # Load whole windows as values once; the per-offset unaligned
+            # slices then happen at value level (Mosaic lowers them to
+            # vector shifts — ref slices at non-128-aligned offsets don't
+            # compile).
+            pw = [pwin[d] for d in range(dim)]
+            mw = mwin[:, :]
+            qw = [qwin[d] for d in range(dim)]
+            own_p = [
+                jax.lax.slice_in_dim(pw[d], w, w + tile, axis=1)
                 for d in range(dim)
             ]
-            mj = jax.lax.slice_in_dim(mw, base, base + tile, axis=1)
-            qj = [
-                jax.lax.slice_in_dim(qw[d], base, base + tile, axis=1)
-                for d in range(dim)
-            ]
-            # pair block [cap_i, cap_j, tile]
-            dpos = [
-                own_p[d][:, None, :] - pj[d][None, :, :] for d in range(dim)
-            ]
-            r2 = dpos[0] * dpos[0]
-            for d in range(1, dim):
-                r2 = r2 + dpos[d] * dpos[d]
-            dwr = dwr_of(r2)
-            t = qj[0][None, :, :] * dpos[0]
-            for d in range(1, dim):
-                t = t + qj[d][None, :, :] * dpos[d]
-            acc = acc + jnp.sum(t * dwr * mj[None, :, :], axis=1)
-        out_ref[:, :] = acc
+            acc = jnp.zeros((cap, tile), jnp.float32)
+            for s in shifts:
+                base = w + s
+                pj = [
+                    jax.lax.slice_in_dim(pw[d], base, base + tile, axis=1)
+                    for d in range(dim)
+                ]
+                mj = jax.lax.slice_in_dim(mw, base, base + tile, axis=1)
+                qj = [
+                    jax.lax.slice_in_dim(qw[d], base, base + tile, axis=1)
+                    for d in range(dim)
+                ]
+                # pair block [cap_i, cap_j, tile]
+                dpos = [
+                    own_p[d][:, None, :] - pj[d][None, :, :]
+                    for d in range(dim)
+                ]
+                r2 = dpos[0] * dpos[0]
+                for d in range(1, dim):
+                    r2 = r2 + dpos[d] * dpos[d]
+                dwr = dwr_of(r2)
+                t = qj[0][None, :, :] * dpos[0]
+                for d in range(1, dim):
+                    t = t + qj[d][None, :, :] * dpos[d]
+                acc = acc + jnp.sum(t * dwr * mj[None, :, :], axis=1)
+            out_ref[:, :] = acc
 
     return kernel, w, win
 
 
+def _occupancy(M, c: int, cp: int, tile: int):
+    """Per-tile ``any live i-particle`` flags from the mass channel
+    (empty slots carry m = 0 in every layout, uniform or not)."""
+    occ = jnp.pad(jnp.any(M != 0.0, axis=0), ((0, cp - c),))
+    return occ.reshape(cp // tile, tile).any(axis=1).astype(jnp.int32)
+
+
 def t_pass_pallas(spec, h: float, dim: int, kernel_gradient: str, P, M, Q,
                   tile: int = 512, interpret: bool = False):
-    """T_i = sum_ff m_j (Q_j . grad_ij), fused on TPU."""
+    """T_i = sum_ff m_j (Q_j . grad_ij), fused on TPU; air tiles skipped."""
     kernel, w, win = _build_t_kernel(spec, h, dim, tile, kernel_gradient)
     cap = _pad_cap(spec.cap)
     c = P.shape[-1]
     Pp, cp = _pad_last(P, w, tile, dg.POS_SENTINEL)
     Mp, _ = _pad_last(M, w, tile, 0.0)
     Qp, _ = _pad_last(Q, w, tile, 0.0)
+    occ = _occupancy(M, c, cp, tile)
 
     out = pl.pallas_call(
         kernel,
-        grid=(cp // tile,),
-        interpret=interpret,
-        in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
-        ],
-        out_specs=pl.BlockSpec(
-            (cap, tile), lambda i: (0, i), memory_space=pltpu.VMEM
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(cp // tile,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
+            ],
+            out_specs=pl.BlockSpec(
+                (cap, tile), lambda i, occ_ref: (0, i),
+                memory_space=pltpu.VMEM,
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((dim, cap, win), jnp.float32),
+                pltpu.VMEM((cap, win), jnp.float32),
+                pltpu.VMEM((dim, cap, win), jnp.float32),
+                pltpu.SemaphoreType.DMA((3,)),
+            ],
         ),
+        interpret=interpret,
         out_shape=jax.ShapeDtypeStruct((cap, cp), jnp.float32),
-        scratch_shapes=[
-            pltpu.VMEM((dim, cap, win), jnp.float32),
-            pltpu.VMEM((cap, win), jnp.float32),
-            pltpu.VMEM((dim, cap, win), jnp.float32),
-            pltpu.SemaphoreType.DMA((3,)),
-        ],
-    )(Pp, Mp, Qp)
+    )(occ, Pp, Mp, Qp)
     return out[: spec.cap, :c]
+
+
+def _w_scale_fn(kernel_density: str, h: float, dim: int):
+    if kernel_density == "cubic":
+        from ..kernels.sph import _cubic_normalizer
+
+        norm = _cubic_normalizer(h, dim)
+        inv_h2 = 1.0 / (h * h)
+
+        def w_of(r2):
+            q2 = r2 * inv_h2
+            q = jnp.sqrt(q2)
+            near_w = 1.0 + (q2 * q - q2) * 6.0
+            one_q = 1.0 - q
+            far_w = one_q * one_q * one_q * 2.0
+            return norm * jnp.where(
+                q <= 0.5, near_w, jnp.where(q <= 1.0, far_w, 0.0)
+            )
+
+        return w_of
+
+    w_fn, _ = get_kernel(kernel_density)
+
+    def w_of(r2):
+        return w_fn(jnp.sqrt(r2), h, dim)
+
+    return w_of
+
+
+def _build_hoist_kernel(spec, h, dim, tile, kernel_density,
+                        kernel_gradient, need_s2):
+    """Fluid-fluid hoist: rho, Gf, sum|m grad|^2, [s2,] count in ONE
+    windowed pass (the per-substep fold of ``DenseCtx._hoist``'s
+    ``ff_body``), with the same air-tile skip as the iteration passes."""
+    cap = _pad_cap(spec.cap)
+    shifts = _shifts(spec)
+    w = -(-_halo(spec) // 128) * 128
+    win = tile + 2 * w
+    dwr_of = _grad_scale_fn(kernel_gradient, h, dim)
+    w_of = _w_scale_fn(kernel_density, h, dim)
+    h2 = h * h
+
+    def kernel(occ_ref, p_hbm, m_hbm, rho_ref, g_ref, sq_ref, s2_ref,
+               cnt_ref, pwin, mwin, sem):
+        i = pl.program_id(0)
+
+        @pl.when(occ_ref[i] == 0)
+        def _skip():
+            z = jnp.zeros((cap, tile), jnp.float32)
+            rho_ref[:, :] = z
+            g_ref[:, :, :] = jnp.zeros((dim, cap, tile), jnp.float32)
+            sq_ref[:, :] = z
+            s2_ref[:, :] = z
+            cnt_ref[:, :] = jnp.zeros((cap, tile), jnp.int32)
+
+        @pl.when(occ_ref[i] != 0)
+        def _compute():
+            c0 = i * tile
+            cps = [
+                pltpu.make_async_copy(
+                    p_hbm.at[:, :, pl.ds(c0, win)], pwin, sem.at[0]
+                ),
+                pltpu.make_async_copy(
+                    m_hbm.at[:, pl.ds(c0, win)], mwin, sem.at[1]
+                ),
+            ]
+            for cp_ in cps:
+                cp_.start()
+            for cp_ in cps:
+                cp_.wait()
+
+            pw = [pwin[d] for d in range(dim)]
+            mw = mwin[:, :]
+            own_p = [
+                jax.lax.slice_in_dim(pw[d], w, w + tile, axis=1)
+                for d in range(dim)
+            ]
+            z = jnp.zeros((cap, tile), jnp.float32)
+            rho, sq, s2 = z, z, z
+            cnt = jnp.zeros((cap, tile), jnp.int32)
+            gf = [z for _ in range(dim)]
+            for s in shifts:
+                base = w + s
+                pj = [
+                    jax.lax.slice_in_dim(pw[d], base, base + tile, axis=1)
+                    for d in range(dim)
+                ]
+                mj = jax.lax.slice_in_dim(mw, base, base + tile, axis=1)[
+                    None, :, :
+                ]
+                dpos = [
+                    own_p[d][:, None, :] - pj[d][None, :, :]
+                    for d in range(dim)
+                ]
+                r2 = dpos[0] * dpos[0]
+                for d in range(1, dim):
+                    r2 = r2 + dpos[d] * dpos[d]
+                dwr = dwr_of(r2)
+                rho = rho + jnp.sum(mj * w_of(r2), axis=1)
+                gsq = jnp.zeros_like(r2)
+                for d in range(dim):
+                    g_d = dpos[d] * dwr
+                    gf[d] = gf[d] + jnp.sum(g_d * mj, axis=1)
+                    gsq = gsq + g_d * g_d
+                sq = sq + jnp.sum(gsq * mj * mj, axis=1)
+                if need_s2:
+                    s2 = s2 + jnp.sum(gsq * mj, axis=1)
+                cnt = cnt + jnp.sum(
+                    ((r2 <= h2) & (mj != 0.0)).astype(jnp.int32), axis=1
+                )
+            rho_ref[:, :] = rho
+            for d in range(dim):
+                g_ref[d, :, :] = gf[d]
+            sq_ref[:, :] = sq
+            s2_ref[:, :] = s2
+            cnt_ref[:, :] = cnt
+
+    return kernel, w, win
+
+
+def hoist_ff_pallas(spec, h: float, dim: int, kernel_density: str,
+                    kernel_gradient: str, P, M, need_s2: bool = True,
+                    tile: int = 512, interpret: bool = False):
+    """(rho_ff, Gf, sq_ff, s2_ff, cnt_ff) fused on TPU; air tiles
+    skipped. Matches ``DenseCtx._hoist``'s ff fold: count uses
+    ``(r2 <= h^2) & (m_j != 0)`` which equals the masked XLA count on
+    live slots (and is exactly right on dead slots too — sentinel
+    positions put every live pair out of range, and dead j carry m=0)."""
+    kernel, w, win = _build_hoist_kernel(
+        spec, h, dim, tile, kernel_density, kernel_gradient, need_s2
+    )
+    cap = _pad_cap(spec.cap)
+    c = P.shape[-1]
+    Pp, cp = _pad_last(P, w, tile, dg.POS_SENTINEL)
+    Mp, _ = _pad_last(M, w, tile, 0.0)
+    occ = _occupancy(M, c, cp, tile)
+
+    outs = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(cp // tile,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
+            ],
+            out_specs=[
+                pl.BlockSpec(
+                    (cap, tile), lambda i, occ_ref: (0, i),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(
+                    (dim, cap, tile), lambda i, occ_ref: (0, 0, i),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(
+                    (cap, tile), lambda i, occ_ref: (0, i),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(
+                    (cap, tile), lambda i, occ_ref: (0, i),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(
+                    (cap, tile), lambda i, occ_ref: (0, i),
+                    memory_space=pltpu.VMEM,
+                ),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((dim, cap, win), jnp.float32),
+                pltpu.VMEM((cap, win), jnp.float32),
+                pltpu.SemaphoreType.DMA((2,)),
+            ],
+        ),
+        interpret=interpret,
+        out_shape=[
+            jax.ShapeDtypeStruct((cap, cp), jnp.float32),
+            jax.ShapeDtypeStruct((dim, cap, cp), jnp.float32),
+            jax.ShapeDtypeStruct((cap, cp), jnp.float32),
+            jax.ShapeDtypeStruct((cap, cp), jnp.float32),
+            jax.ShapeDtypeStruct((cap, cp), jnp.int32),
+        ],
+    )(occ, Pp, Mp)
+    rho, gf, sq, s2, cnt = outs
+    return (
+        rho[: spec.cap, :c],
+        gf[:, : spec.cap, :c],
+        sq[: spec.cap, :c],
+        s2[: spec.cap, :c],
+        cnt[: spec.cap, :c],
+    )
 
 
 def _build_k_kernel(spec, h, dim, tile, kernel_gradient):
@@ -184,47 +428,55 @@ def _build_k_kernel(spec, h, dim, tile, kernel_gradient):
     win = tile + 2 * w
     dwr_of = _grad_scale_fn(kernel_gradient, h, dim)
 
-    def kernel(p_hbm, mk_hbm, out_ref, pwin, mkwin, sem):
+    def kernel(occ_ref, p_hbm, mk_hbm, out_ref, pwin, mkwin, sem):
         i = pl.program_id(0)
-        c0 = i * tile
-        cps = [
-            pltpu.make_async_copy(
-                p_hbm.at[:, :, pl.ds(c0, win)], pwin, sem.at[0]
-            ),
-            pltpu.make_async_copy(
-                mk_hbm.at[:, pl.ds(c0, win)], mkwin, sem.at[1]
-            ),
-        ]
-        for cp_ in cps:
-            cp_.start()
-        for cp_ in cps:
-            cp_.wait()
 
-        pw = [pwin[d] for d in range(dim)]
-        mkw = mkwin[:, :]
-        own_p = [
-            jax.lax.slice_in_dim(pw[d], w, w + tile, axis=1)
-            for d in range(dim)
-        ]
-        accs = [jnp.zeros((cap, tile), jnp.float32) for _ in range(dim)]
-        for s in shifts:
-            base = w + s
-            pj = [
-                jax.lax.slice_in_dim(pw[d], base, base + tile, axis=1)
+        @pl.when(occ_ref[i] == 0)
+        def _skip():
+            out_ref[:, :, :] = jnp.zeros((dim, cap, tile), jnp.float32)
+
+        @pl.when(occ_ref[i] != 0)
+        def _compute():
+            c0 = i * tile
+            cps = [
+                pltpu.make_async_copy(
+                    p_hbm.at[:, :, pl.ds(c0, win)], pwin, sem.at[0]
+                ),
+                pltpu.make_async_copy(
+                    mk_hbm.at[:, pl.ds(c0, win)], mkwin, sem.at[1]
+                ),
+            ]
+            for cp_ in cps:
+                cp_.start()
+            for cp_ in cps:
+                cp_.wait()
+
+            pw = [pwin[d] for d in range(dim)]
+            mkw = mkwin[:, :]
+            own_p = [
+                jax.lax.slice_in_dim(pw[d], w, w + tile, axis=1)
                 for d in range(dim)
             ]
-            mkj = jax.lax.slice_in_dim(mkw, base, base + tile, axis=1)
-            dpos = [
-                own_p[d][:, None, :] - pj[d][None, :, :] for d in range(dim)
-            ]
-            r2 = dpos[0] * dpos[0]
-            for d in range(1, dim):
-                r2 = r2 + dpos[d] * dpos[d]
-            coeff = dwr_of(r2) * mkj[None, :, :]
+            accs = [jnp.zeros((cap, tile), jnp.float32) for _ in range(dim)]
+            for s in shifts:
+                base = w + s
+                pj = [
+                    jax.lax.slice_in_dim(pw[d], base, base + tile, axis=1)
+                    for d in range(dim)
+                ]
+                mkj = jax.lax.slice_in_dim(mkw, base, base + tile, axis=1)
+                dpos = [
+                    own_p[d][:, None, :] - pj[d][None, :, :]
+                    for d in range(dim)
+                ]
+                r2 = dpos[0] * dpos[0]
+                for d in range(1, dim):
+                    r2 = r2 + dpos[d] * dpos[d]
+                coeff = dwr_of(r2) * mkj[None, :, :]
+                for d in range(dim):
+                    accs[d] = accs[d] + jnp.sum(dpos[d] * coeff, axis=1)
             for d in range(dim):
-                accs[d] = accs[d] + jnp.sum(dpos[d] * coeff, axis=1)
-        for d in range(dim):
-            out_ref[d, :, :] = accs[d]
+                out_ref[d, :, :] = accs[d]
 
     return kernel, w, win
 
@@ -241,23 +493,30 @@ def k_pass_pallas(spec, h: float, dim: int, kernel_gradient: str, P, M, K,
     c = P.shape[-1]
     Pp, cp = _pad_last(P, w, tile, dg.POS_SENTINEL)
     MKp, _ = _pad_last(M * K, w, tile, 0.0)
+    # Occupancy from M, not M*K: a tile whose own kappas are all zero
+    # still receives force from neighbors' kappa outside the tile.
+    occ = _occupancy(M, c, cp, tile)
 
     out = pl.pallas_call(
         kernel,
-        grid=(cp // tile,),
-        interpret=interpret,
-        in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
-        ],
-        out_specs=pl.BlockSpec(
-            (dim, cap, tile), lambda i: (0, 0, i), memory_space=pltpu.VMEM
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(cp // tile,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
+            ],
+            out_specs=pl.BlockSpec(
+                (dim, cap, tile), lambda i, occ_ref: (0, 0, i),
+                memory_space=pltpu.VMEM,
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((dim, cap, win), jnp.float32),
+                pltpu.VMEM((cap, win), jnp.float32),
+                pltpu.SemaphoreType.DMA((2,)),
+            ],
         ),
+        interpret=interpret,
         out_shape=jax.ShapeDtypeStruct((dim, cap, cp), jnp.float32),
-        scratch_shapes=[
-            pltpu.VMEM((dim, cap, win), jnp.float32),
-            pltpu.VMEM((cap, win), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
-        ],
-    )(Pp, MKp)
+    )(occ, Pp, MKp)
     return out[:, : spec.cap, :c]

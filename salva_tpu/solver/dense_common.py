@@ -475,12 +475,21 @@ class DenseCtx:
             return rho, jnp.stack(gf_new), sq, s2, cnt
 
         z = jnp.zeros_like(self.maskf)
-        rho_ff, Gf, sq_ff, s2_ff, cnt_ff = fold_pairs(
-            self.offsets, h, dim, self.P, self.maskf, self.P, self.maskf,
-            self.jff, {"m": self.M}, ff_body,
-            (z, jnp.zeros_like(self.P), z, z,
-             jnp.zeros_like(self.maskf, dtype=jnp.int32)),
-        )
+        if self._use_pallas():
+            from ..ops import hoist_ff_pallas
+
+            rho_ff, Gf, sq_ff, s2_ff, cnt_ff = hoist_ff_pallas(
+                self.spec_f, h, dim, self.sim.kernel_density,
+                self.sim.kernel_gradient, self.P, self.M,
+                need_s2=need_s2,
+            )
+        else:
+            rho_ff, Gf, sq_ff, s2_ff, cnt_ff = fold_pairs(
+                self.offsets, h, dim, self.P, self.maskf, self.P,
+                self.maskf, self.jff, {"m": self.M}, ff_body,
+                (z, jnp.zeros_like(self.P), z, z,
+                 jnp.zeros_like(self.maskf, dtype=jnp.int32)),
+            )
 
         def fb_body(acc, dpos, r2, within, j):
             rho, gb, sq, s2, sb, cnt = acc
@@ -639,7 +648,9 @@ class DenseCtx:
             from ..ops import PALLAS_OK
         except Exception:  # noqa: BLE001
             return False
-        return PALLAS_OK and jax.default_backend() == "tpu"
+        # Any accelerator backend (the tunneled TPU plugin reports its
+        # own platform name, not "tpu").
+        return PALLAS_OK and jax.default_backend() != "cpu"
 
     def delta_density(self, Vp):
         """sum m_j (v_i'-v_j').grad + boundary term via hoisted sums:

@@ -51,6 +51,100 @@ def test_t_pass_matches(dim):
 
 
 @pytest.mark.parametrize("dim", [2, 3])
+def test_hoist_ff_matches(dim):
+    from salva_tpu.ops import hoist_ff_pallas
+    from salva_tpu.solver.dense_common import fold_pairs, w_dwr
+
+    sim, ctx = _ctx(dim)
+    # Reference: the XLA ff fold (same body as DenseCtx._hoist).
+    kd_w, kd_dw = ctx.kd
+    kg_w, kg_dw = ctx.kg
+    h = ctx.h
+
+    def ff_body(acc, dpos, r2, within, j):
+        rho, gf, sq, s2, cnt = acc
+        _, dwr = w_dwr(r2, h, dim, kg_w, kg_dw)
+        wd, _ = w_dwr(r2, h, dim, kd_w, kd_dw)
+        mj = jnp.where(within, j["m"][None, :, :], 0.0)
+        rho = rho + jnp.sum(mj * wd, axis=1)
+        gsq = jnp.zeros_like(r2)
+        gf_new = []
+        for d in range(dim):
+            g_d = dpos[d] * dwr
+            gf_new.append(gf[d] + jnp.sum(g_d * mj, axis=1))
+            gsq = gsq + g_d * g_d
+        sq = sq + jnp.sum(gsq * mj * mj, axis=1)
+        s2 = s2 + jnp.sum(gsq * mj, axis=1)
+        cnt = cnt + jnp.sum(within.astype(jnp.int32), axis=1)
+        return rho, jnp.stack(gf_new), sq, s2, cnt
+
+    z = jnp.zeros_like(ctx.maskf)
+    ref = fold_pairs(
+        ctx.offsets, h, dim, ctx.P, ctx.maskf, ctx.P, ctx.maskf,
+        ctx.jff, {"m": ctx.M}, ff_body,
+        (z, jnp.zeros_like(ctx.P), z, z,
+         jnp.zeros_like(ctx.maskf, dtype=jnp.int32)),
+    )
+    out = hoist_ff_pallas(
+        ctx.spec_f, h, dim, sim.kernel_density, sim.kernel_gradient,
+        ctx.P, ctx.M, need_s2=True, tile=256, interpret=True,
+    )
+    # Float outputs: f32 accumulation-order rounding only (Gf sees
+    # near-cancellation between symmetric neighbors — atol-dominated);
+    # the contact count must be exact.
+    for r, o in zip(ref[:4], out[:4]):
+        np.testing.assert_allclose(np.asarray(r), np.asarray(o),
+                                   rtol=1e-3, atol=1e-3)
+    np.testing.assert_array_equal(np.asarray(ref[4]), np.asarray(out[4]))
+
+
+def test_occupancy_skip_matches_on_sparse_state():
+    """A small cluster in a large domain leaves most tiles empty — the
+    per-tile occupancy skip must produce exact zeros there and identical
+    values on occupied tiles."""
+    dim = 3
+    h = 0.2
+    n = 200
+    key = jax.random.PRNGKey(2)
+    # Cluster confined to a corner ~1/64 of the domain volume.
+    pos = jax.random.uniform(key, (n, dim), jnp.float32, 0.0, 0.6)
+    fl = FluidsState.empty(n, dim).replace(
+        positions=pos,
+        velocities=jax.random.normal(jax.random.PRNGKey(3), (n, dim)),
+        volumes=jnp.full((n,), 1e-3),
+        density0=jnp.full((n,), 1000.0),
+        alive=jnp.ones((n,), bool),
+    )
+    bd = BoundariesState.empty(8, dim)
+    sim = SimConfig(dim=dim, particle_radius=0.05, use_pallas=False,
+                    dense_compact=False,
+                    domain=((0.0,) * dim, (2.4,) * dim))
+    spec_f = dg.spec_for_aabb((0.0,) * dim, (2.4,) * dim, h, cap=16)
+    ctx = DenseCtx(sim, spec_f, spec_f.replace(cap=4), fl, bd)
+    from salva_tpu.ops.pallas_pair import _occupancy
+
+    occ = _occupancy(ctx.M, ctx.M.shape[-1],
+                     -(-ctx.M.shape[-1] // 256) * 256, 256)
+    assert int(occ.sum()) < len(occ)  # the skip branch actually runs
+
+    ref_t = ctx.t_pass(ctx.V)
+    out_t = t_pass_pallas(
+        ctx.spec_f, ctx.h, dim, sim.kernel_gradient, ctx.P, ctx.M, ctx.V,
+        tile=256, interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(ref_t), np.asarray(out_t),
+                               rtol=1e-4, atol=1e-5)
+    K = ctx.rho * 1e-6
+    ref_k = ctx.k_pass(K)
+    out_k = k_pass_pallas(
+        ctx.spec_f, ctx.h, dim, sim.kernel_gradient, ctx.P, ctx.M, K,
+        tile=256, interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(ref_k), np.asarray(out_k),
+                               rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.parametrize("dim", [2, 3])
 def test_k_pass_matches(dim):
     sim, ctx = _ctx(dim)
     K = ctx.rho * 1e-6
