@@ -421,6 +421,196 @@ def hoist_ff_pallas(spec, h: float, dim: int, kernel_density: str,
     )
 
 
+def _build_fb_hoist_kernel(spec, cap_b_pad, h, dim, tile, kernel_density,
+                           kernel_gradient, need_s2):
+    """Fluid-boundary hoist: rho_fb, Gb, sq_fb, [s2_fb,] Sb, count in one
+    windowed pass (``DenseCtx._hoist``'s ``fb_body``). Tiles are skipped
+    when they hold no live fluid OR no boundary particle within the halo
+    window — walls touch few tiles, so most of the grid skips."""
+    cap = _pad_cap(spec.cap)
+    shifts = _shifts(spec)
+    w = -(-_halo(spec) // 128) * 128
+    win = tile + 2 * w
+    dwr_of = _grad_scale_fn(kernel_gradient, h, dim)
+    w_of = _w_scale_fn(kernel_density, h, dim)
+    h2 = h * h
+
+    def kernel(occ_ref, p_hbm, pb_hbm, volb_hbm, vb_hbm, rho_ref, g_ref,
+               sq_ref, s2_ref, sb_ref, cnt_ref, pown, pbwin, volbwin,
+               vbwin, sem):
+        i = pl.program_id(0)
+
+        @pl.when(occ_ref[i] == 0)
+        def _skip():
+            z = jnp.zeros((cap, tile), jnp.float32)
+            rho_ref[:, :] = z
+            g_ref[:, :, :] = jnp.zeros((dim, cap, tile), jnp.float32)
+            sq_ref[:, :] = z
+            s2_ref[:, :] = z
+            sb_ref[:, :] = z
+            cnt_ref[:, :] = jnp.zeros((cap, tile), jnp.int32)
+
+        @pl.when(occ_ref[i] != 0)
+        def _compute():
+            c0 = i * tile
+            cps = [
+                pltpu.make_async_copy(
+                    p_hbm.at[:, :, pl.ds(c0 + w, tile)], pown, sem.at[0]
+                ),
+                pltpu.make_async_copy(
+                    pb_hbm.at[:, :, pl.ds(c0, win)], pbwin, sem.at[1]
+                ),
+                pltpu.make_async_copy(
+                    volb_hbm.at[:, pl.ds(c0, win)], volbwin, sem.at[2]
+                ),
+                pltpu.make_async_copy(
+                    vb_hbm.at[:, :, pl.ds(c0, win)], vbwin, sem.at[3]
+                ),
+            ]
+            for cp_ in cps:
+                cp_.start()
+            for cp_ in cps:
+                cp_.wait()
+
+            own_p = [pown[d] for d in range(dim)]
+            pbw = [pbwin[d] for d in range(dim)]
+            volw = volbwin[:, :]
+            vbw = [vbwin[d] for d in range(dim)]
+            z = jnp.zeros((cap, tile), jnp.float32)
+            rho, sq, s2, sb = z, z, z, z
+            cnt = jnp.zeros((cap, tile), jnp.int32)
+            gb = [z for _ in range(dim)]
+            for s in shifts:
+                base = w + s
+                pj = [
+                    jax.lax.slice_in_dim(pbw[d], base, base + tile, axis=1)
+                    for d in range(dim)
+                ]
+                vj = jax.lax.slice_in_dim(volw, base, base + tile, axis=1)[
+                    None, :, :
+                ]
+                vbj = [
+                    jax.lax.slice_in_dim(vbw[d], base, base + tile, axis=1)
+                    for d in range(dim)
+                ]
+                dpos = [
+                    own_p[d][:, None, :] - pj[d][None, :, :]
+                    for d in range(dim)
+                ]
+                r2 = dpos[0] * dpos[0]
+                for d in range(1, dim):
+                    r2 = r2 + dpos[d] * dpos[d]
+                dwr = dwr_of(r2)
+                rho = rho + jnp.sum(vj * w_of(r2), axis=1)
+                gsq = jnp.zeros_like(r2)
+                vdotg = jnp.zeros_like(r2)
+                for d in range(dim):
+                    g_d = dpos[d] * dwr
+                    gb[d] = gb[d] + jnp.sum(g_d * vj, axis=1)
+                    gsq = gsq + g_d * g_d
+                    vdotg = vdotg + vbj[d][None, :, :] * g_d * vj
+                sq = sq + jnp.sum(gsq * vj * vj, axis=1)
+                if need_s2:
+                    s2 = s2 + jnp.sum(gsq * vj, axis=1)
+                sb = sb + jnp.sum(vdotg, axis=1)
+                cnt = cnt + jnp.sum(
+                    ((r2 <= h2) & (vj != 0.0)).astype(jnp.int32), axis=1
+                )
+            rho_ref[:, :] = rho
+            for d in range(dim):
+                g_ref[d, :, :] = gb[d]
+            sq_ref[:, :] = sq
+            s2_ref[:, :] = s2
+            sb_ref[:, :] = sb
+            cnt_ref[:, :] = cnt
+
+    return kernel, w, win
+
+
+def hoist_fb_pallas(spec_f, cap_b: int, h: float, dim: int,
+                    kernel_density: str, kernel_gradient: str, P, M,
+                    Pb, Volb, Vbvel, need_s2: bool = True,
+                    tile: int = 512, interpret: bool = False):
+    """(rho_fb, Gb, sq_fb, s2_fb, Sb, cnt_fb) fused on TPU. ``Pb``/
+    ``Volb``/``Vbvel`` are the full-grid boundary channels ([cap_b, C]
+    cell layout matching the fluid grid's flat indexing); ``M`` is only
+    used for the fluid-side occupancy flags."""
+    capb = _pad_cap(cap_b)
+    kernel, w, win = _build_fb_hoist_kernel(
+        spec_f, capb, h, dim, tile, kernel_density, kernel_gradient,
+        need_s2,
+    )
+    cap = _pad_cap(spec_f.cap)
+    c = P.shape[-1]
+    Pp, cp = _pad_last(P, w, tile, dg.POS_SENTINEL)
+    Pbp, _ = _pad_last(Pb, w, tile, dg.POS_SENTINEL)
+    Volbp, _ = _pad_last(Volb, w, tile, 0.0)
+    Vbp, _ = _pad_last(Vbvel, w, tile, 0.0)
+    # Skip tiles with no live fluid OR no boundary within the halo
+    # window: OR the per-tile boundary flags over +/- ceil(halo/tile)
+    # neighbor tiles.
+    occ_f = _occupancy(M, c, cp, tile)
+    occ_b = _occupancy(Volb, c, cp, tile)
+    k = -(-_halo(spec_f) // tile)
+    occ_b_win = occ_b
+    for off in range(1, k + 1):
+        occ_b_win = (
+            occ_b_win
+            | jnp.roll(occ_b, off).at[:off].set(0)
+            | jnp.roll(occ_b, -off).at[-off:].set(0)
+        )
+    occ = (occ_f & occ_b_win).astype(jnp.int32)
+
+    outs = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(cp // tile,),
+            in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 4,
+            out_specs=[
+                pl.BlockSpec(
+                    (cap, tile), lambda i, occ_ref: (0, i),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(
+                    (dim, cap, tile), lambda i, occ_ref: (0, 0, i),
+                    memory_space=pltpu.VMEM,
+                ),
+            ] + [
+                pl.BlockSpec(
+                    (cap, tile), lambda i, occ_ref: (0, i),
+                    memory_space=pltpu.VMEM,
+                )
+            ] * 4,
+            scratch_shapes=[
+                pltpu.VMEM((dim, cap, tile), jnp.float32),
+                pltpu.VMEM((dim, capb, win), jnp.float32),
+                pltpu.VMEM((capb, win), jnp.float32),
+                pltpu.VMEM((dim, capb, win), jnp.float32),
+                pltpu.SemaphoreType.DMA((4,)),
+            ],
+        ),
+        interpret=interpret,
+        out_shape=[
+            jax.ShapeDtypeStruct((cap, cp), jnp.float32),
+            jax.ShapeDtypeStruct((dim, cap, cp), jnp.float32),
+            jax.ShapeDtypeStruct((cap, cp), jnp.float32),
+            jax.ShapeDtypeStruct((cap, cp), jnp.float32),
+            jax.ShapeDtypeStruct((cap, cp), jnp.float32),
+            jax.ShapeDtypeStruct((cap, cp), jnp.int32),
+        ],
+    )(occ, Pp, Pbp, Volbp, Vbp)
+    rho, gb, sq, s2, sb, cnt = outs
+    return (
+        rho[: spec_f.cap, :c],
+        gb[:, : spec_f.cap, :c],
+        sq[: spec_f.cap, :c],
+        s2[: spec_f.cap, :c],
+        sb[: spec_f.cap, :c],
+        cnt[: spec_f.cap, :c],
+    )
+
+
 def _build_k_kernel(spec, h, dim, tile, kernel_gradient):
     cap = _pad_cap(spec.cap)
     shifts = _shifts(spec)

@@ -517,12 +517,21 @@ class DenseCtx:
             volb, vbvel = self._Volb_full, self._Vbvel_full
         else:
             pb, maskb, volb, vbvel = self.Pb, self.maskb, self.Volb, self.Vbvel
-        rho_fb, Gb_raw, sq_fb, s2_fb, Sb_raw, cnt_fb = fold_pairs(
-            self.offsets, h, dim, self.P, self.maskf, pb, maskb,
-            self.jfb, {"vol": volb, "vb": vbvel}, fb_body,
-            (z, jnp.zeros_like(self.P), z, z, z,
-             jnp.zeros_like(self.maskf, dtype=jnp.int32)),
-        )
+        if self._use_pallas():
+            from ..ops import hoist_fb_pallas
+
+            rho_fb, Gb_raw, sq_fb, s2_fb, Sb_raw, cnt_fb = hoist_fb_pallas(
+                self.spec_f, pb.shape[-2], h, dim, self.sim.kernel_density,
+                self.sim.kernel_gradient, self.P, self.M, pb, volb, vbvel,
+                need_s2=need_s2,
+            )
+        else:
+            rho_fb, Gb_raw, sq_fb, s2_fb, Sb_raw, cnt_fb = fold_pairs(
+                self.offsets, h, dim, self.P, self.maskf, pb, maskb,
+                self.jfb, {"vol": volb, "vb": vbvel}, fb_body,
+                (z, jnp.zeros_like(self.P), z, z, z,
+                 jnp.zeros_like(self.maskf, dtype=jnp.int32)),
+            )
 
         R0 = self.R0
         self.rho = jnp.where(self.live, rho_ff + R0 * rho_fb, R0)

@@ -65,13 +65,20 @@ def test_dynamic_sampling_depenetrates_and_emits():
 
 
 def test_transmit_forces_pushes_dynamic_body():
-    """A dynamic ball resting on a fluid column receives an upward impulse
-    from pressure feedback (`fluids_pipeline.rs:263-287`)."""
+    """A buoyant dynamic ball submerged in a fluid column receives a net
+    upward impulse from pressure feedback (`fluids_pipeline.rs:263-287`).
+
+    The fluid lattice is excavated around the ball so its boundary
+    samples don't START inside fluid particles — overlapping spawns make
+    the first pressure solve impulsive and the trajectory chaotic (the
+    pre-fix version launched the ball at hundreds of m/s in a
+    direction that depended on solver rounding)."""
     pip = _pipeline()
     pos = cube_positions_block()
-    pip.liquid_world.add_fluid(Fluid(pos, density0=1000.0))
+    center = np.array([0.0, 0.3], np.float32)
+    keep = np.linalg.norm(pos - center, axis=1) > 0.1 + 2 * RADIUS
+    pip.liquid_world.add_fluid(Fluid(pos[keep], density0=1000.0))
 
-    # Floor under the fluid.
     floor = np.stack(
         [np.arange(-0.6, 0.6, 2 * RADIUS),
          np.full(12, -2 * RADIUS)[: len(np.arange(-0.6, 0.6, 2 * RADIUS))]],
@@ -79,20 +86,28 @@ def test_transmit_forces_pushes_dynamic_body():
     ).astype(np.float32)
     pip.liquid_world.add_boundary(Boundary(floor))
 
-    # Light dynamic ball submerged in the column.
-    body = pip.bodies.add_body("dynamic", translation=(0.0, 0.3))
+    body = pip.bodies.add_body("dynamic", translation=tuple(center))
     shape = shapes.Ball(0.1)
     co = pip.bodies.add_collider(body, shape, density=100.0)
     bo = pip.liquid_world.add_boundary(Boundary(np.zeros((0, 2))))
     samples = shape_surface_sample(shape, RADIUS, 2)
-    pip.coupling.register_coupling(bo, co, ColliderSampling.static_sampling(samples))
-
-    for _ in range(10):
-        pip.step((0.0, -9.81), 1.0 / 200.0)
+    pip.coupling.register_coupling(
+        bo, co, ColliderSampling.static_sampling(samples)
+    )
 
     b = pip.bodies.bodies[body]
-    # The fluid pushes back: net vertical velocity above free fall.
-    assert b.linvel[1] > -9.81 * 10 / 200.0
+    pip.step((0.0, -9.81), 1.0 / 200.0)
+    # One step in, the claim is deterministic: the net pressure feedback
+    # on the buoyant ball points UP and holds it above free fall.
+    f = np.asarray(pip.liquid_world.boundary_forces(bo))
+    assert f.sum(axis=0)[1] > 0.0, f.sum(axis=0)
+    assert b.linvel[1] > -9.81 / 200.0, b.linvel
+    # A few more steps through the column's settling transient: the
+    # body must stay bounded and finite (a freshly spawned SPH column
+    # oscillates, so the trajectory itself is not asserted).
+    for _ in range(4):
+        pip.step((0.0, -9.81), 1.0 / 200.0)
+    assert abs(b.linvel[1]) < 5.0, b.linvel
     f = pip.liquid_world.boundary_forces(bo)
     assert np.isfinite(f).all()
 
@@ -273,10 +288,15 @@ def test_device_dynamic_sampling_depenetrates_and_emits():
 
 
 def test_device_transmit_forces_pushes_dynamic_body():
-    """Device path: pressure feedback becomes body impulses on device."""
+    """Device path: pressure feedback becomes body impulses on device.
+
+    Same well-posed scenario as the host-path twin: fluid excavated
+    around the ball, single-step directional claim, bounded settle."""
     pip = _device_pipeline()
     pos = cube_positions_block()
-    pip.liquid_world.add_fluid(Fluid(pos, density0=1000.0))
+    center = np.array([0.0, 0.3], np.float32)
+    keep = np.linalg.norm(pos - center, axis=1) > 0.1 + 2 * RADIUS
+    pip.liquid_world.add_fluid(Fluid(pos[keep], density0=1000.0))
     floor = np.stack(
         [np.arange(-0.6, 0.6, 2 * RADIUS),
          np.full(12, -2 * RADIUS)[: len(np.arange(-0.6, 0.6, 2 * RADIUS))]],
@@ -284,7 +304,7 @@ def test_device_transmit_forces_pushes_dynamic_body():
     ).astype(np.float32)
     pip.liquid_world.add_boundary(Boundary(floor))
 
-    body = pip.bodies.add_body("dynamic", translation=(0.0, 0.3))
+    body = pip.bodies.add_body("dynamic", translation=tuple(center))
     shape = shapes.Ball(0.1)
     co = pip.bodies.add_collider(body, shape, density=100.0)
     bo = pip.liquid_world.add_boundary(Boundary(np.zeros((0, 2))))
@@ -293,10 +313,13 @@ def test_device_transmit_forces_pushes_dynamic_body():
         bo, co, ColliderSampling.static_sampling(samples)
     )
 
-    for _ in range(10):
+    pip.step((0.0, -9.81), 1.0 / 200.0)
+    b = pip.sync_bodies().bodies[body]
+    assert b.linvel[1] > -9.81 / 200.0, b.linvel
+    for _ in range(4):
         pip.step((0.0, -9.81), 1.0 / 200.0)
     b = pip.sync_bodies().bodies[body]
-    assert b.linvel[1] > -9.81 * 10 / 200.0
+    assert abs(b.linvel[1]) < 5.0, b.linvel
     assert np.isfinite(pip.liquid_world.boundary_forces(bo)).all()
 
 

@@ -15,7 +15,7 @@ from salva_tpu.object.state import BoundariesState, FluidsState
 pytestmark = pytest.mark.skipif(not PALLAS_OK, reason="pallas unavailable")
 
 
-def _ctx(dim):
+def _ctx(dim, with_boundary=False):
     h = 0.2
     n = 400
     key = jax.random.PRNGKey(0)
@@ -28,7 +28,21 @@ def _ctx(dim):
         density0=jnp.full((n,), 1000.0),
         alive=alive,
     )
-    bd = BoundariesState.empty(8, dim)
+    if with_boundary:
+        nb = 60
+        bpos = jax.random.uniform(
+            jax.random.PRNGKey(4), (nb, dim), jnp.float32, 0.0, 0.7
+        )
+        bd = BoundariesState.empty(nb, dim).replace(
+            positions=bpos,
+            velocities=jax.random.normal(
+                jax.random.PRNGKey(5), (nb, dim)
+            ) * 0.1,
+            volumes=jnp.full((nb,), 2e-3),
+            alive=jnp.arange(nb) % 5 != 0,
+        )
+    else:
+        bd = BoundariesState.empty(8, dim)
     sim = SimConfig(dim=dim, particle_radius=0.05, use_pallas=False,
                     dense_compact=False,
                     domain=((0.0,) * dim, (1.2,) * dim))
@@ -96,6 +110,61 @@ def test_hoist_ff_matches(dim):
         np.testing.assert_allclose(np.asarray(r), np.asarray(o),
                                    rtol=1e-3, atol=1e-3)
     np.testing.assert_array_equal(np.asarray(ref[4]), np.asarray(out[4]))
+
+
+@pytest.mark.parametrize("dim", [2, 3])
+def test_hoist_fb_matches(dim):
+    from salva_tpu.ops import hoist_fb_pallas
+    from salva_tpu.solver.dense_common import fold_pairs, w_dwr
+
+    sim, ctx = _ctx(dim, with_boundary=True)
+    kd_w, kd_dw = ctx.kd
+    kg_w, kg_dw = ctx.kg
+    h = ctx.h
+
+    if ctx.sparse_b:
+        pb, maskb = ctx._Pb_full, ctx._maskb_full
+        volb, vbvel = ctx._Volb_full, ctx._Vbvel_full
+    else:
+        pb, maskb, volb, vbvel = ctx.Pb, ctx.maskb, ctx.Volb, ctx.Vbvel
+
+    def fb_body(acc, dpos, r2, within, j):
+        rho, gb, sq, s2, sb, cnt = acc
+        _, dwr = w_dwr(r2, h, dim, kg_w, kg_dw)
+        wd, _ = w_dwr(r2, h, dim, kd_w, kd_dw)
+        vj = jnp.where(within, j["vol"][None, :, :], 0.0)
+        rho = rho + jnp.sum(vj * wd, axis=1)
+        gsq = jnp.zeros_like(r2)
+        vdotg = jnp.zeros_like(r2)
+        gb_new = []
+        for d in range(dim):
+            g_d = dpos[d] * dwr
+            gb_new.append(gb[d] + jnp.sum(g_d * vj, axis=1))
+            gsq = gsq + g_d * g_d
+            vdotg = vdotg + j["vb"][d][None, :, :] * g_d * vj
+        sq = sq + jnp.sum(gsq * vj * vj, axis=1)
+        s2 = s2 + jnp.sum(gsq * vj, axis=1)
+        sb = sb + jnp.sum(vdotg, axis=1)
+        cnt = cnt + jnp.sum(within.astype(jnp.int32), axis=1)
+        return rho, jnp.stack(gb_new), sq, s2, sb, cnt
+
+    z = jnp.zeros_like(ctx.maskf)
+    ref = fold_pairs(
+        ctx.offsets, h, dim, ctx.P, ctx.maskf, pb, maskb,
+        ctx.jfb, {"vol": volb, "vb": vbvel}, fb_body,
+        (z, jnp.zeros_like(ctx.P), z, z, z,
+         jnp.zeros_like(ctx.maskf, dtype=jnp.int32)),
+    )
+    assert int(np.asarray(ref[5]).sum()) > 0  # fb contacts actually exist
+    out = hoist_fb_pallas(
+        ctx.spec_f, pb.shape[-2], h, dim, sim.kernel_density,
+        sim.kernel_gradient, ctx.P, ctx.M, pb, volb, vbvel,
+        need_s2=True, tile=256, interpret=True,
+    )
+    for r, o in zip(ref[:5], out[:5]):
+        np.testing.assert_allclose(np.asarray(r), np.asarray(o),
+                                   rtol=1e-3, atol=1e-3)
+    np.testing.assert_array_equal(np.asarray(ref[5]), np.asarray(out[5]))
 
 
 def test_occupancy_skip_matches_on_sparse_state():
