@@ -10,6 +10,16 @@ import numpy as np
 import pytest
 
 
+@pytest.fixture(autouse=True)
+def _clear_caches_per_test():
+    """This module compiles the largest shard_map programs in the suite;
+    XLA's CPU compiler has segfaulted when several of them accumulate in
+    one process (conftest clears at module boundaries — here every test
+    gets the same headroom it has standalone)."""
+    yield
+    jax.clear_caches()
+
+
 @pytest.fixture(autouse=True, scope="module")
 def _fresh_compile_caches():
     """The sharded step is the largest program in the suite; compiling
