@@ -109,7 +109,10 @@ class Binned(NamedTuple):
     - ``in_grid``: [N] bool;
     - ``mask``: [cap, C] f32 slot occupancy;
     - ``overflow``: [] int32 particles dropped by full cells;
-    - ``clamped``: [] int32 particles clamped into the interior box.
+    - ``clamped``: [] int32 particles clamped into the interior box;
+    - ``grid_src``: [cap, C] int32 particle index feeding each slot
+      (N = empty) — lets ``to_grid_multi`` bin every channel with ONE
+      packed row gather instead of per-channel scatters.
     """
 
     slot_of: jnp.ndarray
@@ -117,6 +120,7 @@ class Binned(NamedTuple):
     mask: jnp.ndarray
     overflow: jnp.ndarray
     clamped: jnp.ndarray
+    grid_src: jnp.ndarray = None
 
 
 def cell_of(spec: DenseGridSpec, positions, origin=None):
@@ -163,25 +167,50 @@ def bin_particles(spec: DenseGridSpec, positions, alive,
     particles under a fluid-fitted grid window (they are > h away from
     any fluid by the fitting margin, so dropping them is exact)."""
     n = positions.shape[0]
+    C = spec.num_cells
+    cap = spec.cap
     cell, clamped_mask = cell_of(spec, positions, origin=origin)
     if drop_clamped:
         alive = alive & jnp.logical_not(clamped_mask)
         clamped_mask = jnp.zeros_like(clamped_mask)
-    key = jnp.where(alive, cell, jnp.int32(spec.num_cells))
-    order, rank_sorted, _, _ = _sorted_ranks(key)
+    key = jnp.where(alive, cell, jnp.int32(C))
+    order, rank_sorted, sk, is_first = _sorted_ranks(key)
     rank = jnp.zeros((n,), jnp.int32).at[order].set(rank_sorted)
 
-    fits = alive & (rank < spec.cap)
-    oob = spec.num_cells * spec.cap
-    slot = jnp.where(fits, cell * spec.cap + rank, oob)
-    mask = (
-        jnp.zeros((spec.num_cells * spec.cap,), jnp.float32)
-        .at[slot]
-        .set(1.0, mode="drop")
-        .reshape(spec.num_cells, spec.cap)
-        .T
+    # Per-cell sorted-run starts/ends (two index scatters; empty cells
+    # stay 0/0 -> count 0). Slot (c, r) is then fed by sorted position
+    # starts[c] + r, so EVERY channel bins through one packed row gather
+    # (``to_grid_multi``) instead of a per-channel scatter — the same
+    # formulation that replaced scatters in the compact layout, measured
+    # per-row (payload-insensitive) on TPU.
+    iota = jnp.arange(n, dtype=jnp.int32)
+    live_sorted = sk < C
+    first_live = is_first & live_sorted
+    is_last = live_sorted & jnp.concatenate(
+        [sk[1:] != sk[:-1], jnp.ones((1,), bool)]
     )
-    overflow = jnp.sum((alive & (rank >= spec.cap)).astype(jnp.int32))
+    starts = (
+        jnp.zeros((C + 1,), jnp.int32)
+        .at[jnp.where(first_live, sk, C + 1)]
+        .set(iota, mode="drop")[:C]
+    )
+    ends = (
+        jnp.zeros((C + 1,), jnp.int32)
+        .at[jnp.where(is_last, sk, C + 1)]
+        .set(iota + 1, mode="drop")[:C]
+    )
+    counts = ends - starts
+    r = jnp.arange(cap, dtype=jnp.int32)
+    valid = r[None, :] < jnp.minimum(counts, cap)[:, None]  # [C, cap]
+    src_sorted = jnp.where(valid, starts[:, None] + r[None, :], n)
+    order_ext = jnp.concatenate([order, jnp.full((1,), n, jnp.int32)])
+    grid_src = order_ext[src_sorted].T  # [cap, C]
+    mask = valid.T.astype(jnp.float32)
+
+    fits = alive & (rank < cap)
+    oob = C * cap
+    slot = jnp.where(fits, cell * cap + rank, oob)
+    overflow = jnp.sum((alive & (rank >= cap)).astype(jnp.int32))
     clamped = jnp.sum((alive & clamped_mask).astype(jnp.int32))
     return Binned(
         slot_of=slot,
@@ -189,6 +218,7 @@ def bin_particles(spec: DenseGridSpec, positions, alive,
         mask=mask,
         overflow=overflow,
         clamped=clamped,
+        grid_src=grid_src,
     )
 
 

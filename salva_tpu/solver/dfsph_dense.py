@@ -65,8 +65,12 @@ def build_dense_substep(sim: SimConfig, cfg: DFSPHConfig, num_fluids: int,
         maskf, live, R0 = ctx.maskf, ctx.live, ctx.R0
         # solver_state: [:, :dim] velocity changes, [:, dim] / [:, dim+1]
         # the previous step's divergence / pressure stiffness sums (the
-        # warm start; see step.init_solver_state).
-        SG = ctx.to_f(solver_state)  # [dim+2, cap, C]
+        # warm start; see step.init_solver_state). One packed row gather
+        # when the layout carries grid_src.
+        if getattr(ctx.binf, "grid_src", None) is not None:
+            (SG,) = dg.to_grid_multi(ctx.sf, ctx.binf, [(solver_state, 0.0)])
+        else:
+            SG = ctx.to_f(solver_state)  # [dim+2, cap, C]
         DV = SG[:dim]
         kd_prev, kp_prev = SG[dim], SG[dim + 1]
 
