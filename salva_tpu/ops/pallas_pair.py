@@ -41,6 +41,21 @@ from ..kernels import get_kernel
 
 EPSILON = float(jnp.finfo(jnp.float32).eps)
 
+# Mosaic's default scoped-VMEM limit is 16 MiB; at bench window sizes
+# (C ~ 32k cells) the hoist kernels' windows + multi-output blocks need
+# more (measured 37 MiB at 97k). v5e/v5p have 128 MiB VMEM per core —
+# raise the per-kernel cap and let the compiler place buffers.
+_VMEM_LIMIT = 100 * 1024 * 1024
+
+
+def _compiler_params():
+    if not PALLAS_OK:  # pragma: no cover
+        return None
+    cls = getattr(pltpu, "CompilerParams", None) or getattr(
+        pltpu, "TPUCompilerParams", None
+    )
+    return cls(vmem_limit_bytes=_VMEM_LIMIT) if cls else None
+
 
 def _halo(spec: dg.DenseGridSpec) -> int:
     """Max |flat shift| over the neighbor offsets."""
@@ -225,6 +240,7 @@ def t_pass_pallas(spec, h: float, dim: int, kernel_gradient: str, P, M, Q,
             ],
         ),
         interpret=interpret,
+        compiler_params=_compiler_params(),
         out_shape=jax.ShapeDtypeStruct((cap, cp), jnp.float32),
     )(occ, Pp, Mp, Qp)
     return out[: spec.cap, :c]
@@ -403,6 +419,7 @@ def hoist_ff_pallas(spec, h: float, dim: int, kernel_density: str,
             ],
         ),
         interpret=interpret,
+        compiler_params=_compiler_params(),
         out_shape=[
             jax.ShapeDtypeStruct((cap, cp), jnp.float32),
             jax.ShapeDtypeStruct((dim, cap, cp), jnp.float32),
@@ -591,6 +608,7 @@ def hoist_fb_pallas(spec_f, cap_b: int, h: float, dim: int,
             ],
         ),
         interpret=interpret,
+        compiler_params=_compiler_params(),
         out_shape=[
             jax.ShapeDtypeStruct((cap, cp), jnp.float32),
             jax.ShapeDtypeStruct((dim, cap, cp), jnp.float32),
@@ -707,6 +725,7 @@ def k_pass_pallas(spec, h: float, dim: int, kernel_gradient: str, P, M, K,
             ],
         ),
         interpret=interpret,
+        compiler_params=_compiler_params(),
         out_shape=jax.ShapeDtypeStruct((dim, cap, cp), jnp.float32),
     )(occ, Pp, MKp)
     return out[:, : spec.cap, :c]

@@ -140,14 +140,20 @@ SCENE_CONFIGS = [
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true")
+    ap.add_argument("--only", default="",
+                    help="comma-separated config subset (scene names and/or "
+                         "dam_break_N); others are skipped")
     ap.add_argument("--out", default=os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "BENCH_TABLE.jsonl"))
     args = ap.parse_args()
+    only = {s for s in args.only.split(",") if s}
 
     warmup, steps = (3, 5) if args.quick else (10, 30)
     rows = []
     for name in SCENE_CONFIGS:
+        if only and name not in only:
+            continue
         try:
             rows.append(run_scene_row(name, warmup, steps))
         except Exception as e:  # noqa: BLE001
@@ -155,6 +161,8 @@ def main():
         print(f"... {name} done", file=sys.stderr, flush=True)
     dam_sizes = [27_000, 97_000] if args.quick else [27_000, 97_000, 1_000_000]
     for n in dam_sizes:
+        if only and f"dam_break_{n}" not in only:
+            continue
         try:
             rows.append(run_dam_row(n, warmup, steps))
         except Exception as e:  # noqa: BLE001
