@@ -3,10 +3,14 @@
 The reference publishes no numbers (BASELINE.md); the recorded target is
 the BASELINE.json north star: 1e8 particle-steps/sec at a 1M-particle 3D
 DFSPH dam break on one TPU chip. This runs the headless harness scene
-(`examples3d/harness_basic3.rs` analog) at ``BENCH_N`` particles and prints
-ONE JSON line; ``vs_baseline`` is value / 1e8.
+(`examples3d/harness_basic3.rs` analog) at ``BENCH_N`` particles — plus a
+1M-particle row (the north-star scale, VERDICT r3 #9) — and prints ONE
+JSON line whose primary metric is the BENCH_N run; the 1M measurement is
+the ``rows`` entry. ``vs_baseline`` is value / 1e8.
 
-Env overrides: BENCH_N (default 100_000), BENCH_STEPS (default 20).
+Env overrides: BENCH_N (default 100_000), BENCH_STEPS (default 20),
+BENCH_SKIP_1M=1 (drop the 1M row), BENCH_WARM / BENCH_PALLAS /
+BENCH_LAYOUT / BENCH_CAP / BENCH_FROZEN (A/B knobs).
 """
 
 import json
@@ -16,16 +20,27 @@ import time
 import numpy as np
 
 
-def main():
+def _measure_dispatch_us(reps: int = 30) -> float:
+    """Host-contention sentinel (VERDICT r3 #6): the tunnel client's
+    dispatch loop is host-CPU-sensitive (this box has 1 CPU), so a loaded
+    host inflates ms/step without touching device time. Measure the
+    round-trip latency of a trivial jitted dispatch and record it; runs
+    with an inflated sentinel are not comparable and get flagged."""
     import jax
+    import jax.numpy as jnp
 
-    # Compilation over the tunneled TPU backend takes minutes; cache it.
-    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                             ".jax_cache")
-    os.makedirs(cache_dir, exist_ok=True)
-    jax.config.update("jax_compilation_cache_dir", cache_dir)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    tiny = jax.jit(lambda x: x + 1.0)
+    x = tiny(jnp.zeros((8,), jnp.float32))  # compile outside the reps
+    jax.block_until_ready(x)
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        x = tiny(x)
+    jax.block_until_ready(x)
+    return (time.perf_counter() - t0) / reps * 1e6
 
+
+def run_config(target_n: int, steps: int):
+    """Build + run one dam-break config; returns the result row dict."""
     import jax.numpy as jnp
 
     from salva_tpu import shapes
@@ -34,8 +49,6 @@ def main():
     from salva_tpu.scenes import cube_fluid
     from salva_tpu.world import Boundary, Fluid, LiquidWorld
 
-    target_n = int(os.environ.get("BENCH_N", "100000"))
-    steps = int(os.environ.get("BENCH_STEPS", "20"))
     layout = os.environ.get("BENCH_LAYOUT", "auto")
     # Default: auto-sized cap tier from measured occupancy ({8,16}).
     cap_env = os.environ.get("BENCH_CAP", "")
@@ -53,8 +66,9 @@ def main():
         (-wall - 0.3, -0.4, -wall - 0.3),
         (wall + 0.3, 2.0 * half + 1.0, wall + 0.3),
     )
-    # BENCH_WARM overrides the warm-start factor (A/B: 0 = cold start,
-    # the reference's exact trajectory).
+    # BENCH_WARM overrides the warm-start factor (default 0 = cold start,
+    # the reference's exact trajectory; the round-4 idle-host A/B
+    # measured warm 0.5 at 2x the step cost).
     warm_env = os.environ.get("BENCH_WARM", "")
     solver_cfg = (
         DFSPHConfig(warm_start=float(warm_env)) if warm_env else DFSPHConfig()
@@ -101,6 +115,11 @@ def main():
     dt = 1.0 / 200.0
     gravity = (0.0, -9.81, 0.0)
 
+    host_dispatch_us = _measure_dispatch_us()
+    # Empirically ~200-600 us/dispatch through the tunnel on an idle
+    # host; >3000 us means another CPU hog is starving the client loop.
+    contended = host_dispatch_us > 3000.0
+
     # Warmup through the real world.step path: compiles both program
     # variants (boundary-volumes dirty + cached) and reaches the impact
     # (splash starts within a few steps at 2 m/s from one radius up).
@@ -144,7 +163,8 @@ def main():
         import sys
 
         print(
-            f"[debug] {elapsed / steps * 1e3:.1f} ms/step; last step: "
+            f"[debug] N={n_particles} {elapsed / steps * 1e3:.1f} ms/step; "
+            f"last step: "
             f"pressure_iters={int(diag.solver.pressure_iters)} "
             f"div_iters={int(diag.solver.divergence_iters)} "
             f"p_err={float(diag.solver.pressure_error):.4f} "
@@ -161,23 +181,52 @@ def main():
     )
 
     pps = n_particles * steps / elapsed
-    print(
-        json.dumps(
-            {
-                "metric": f"particle-steps/sec, {n_particles}-particle 3D DFSPH dam break",
-                "value": pps,
-                "unit": "particle-steps/s",
-                "vs_baseline": pps / 1.0e8,
-                "ms_per_step": elapsed / steps * 1e3,
-                "pressure_iters": sum(p_iters),
-                "divergence_iters": sum(d_iters),
-                "grid_refits_in_window": refits,
-                "iters_per_step": [
-                    [p, dv] for p, dv in zip(p_iters, d_iters)
-                ],
-            }
-        )
-    )
+    return {
+        "metric": f"particle-steps/sec, {n_particles}-particle 3D DFSPH dam break",
+        "value": pps,
+        "unit": "particle-steps/s",
+        "vs_baseline": pps / 1.0e8,
+        "ms_per_step": elapsed / steps * 1e3,
+        "pressure_iters": sum(p_iters),
+        "divergence_iters": sum(d_iters),
+        "grid_refits_in_window": refits,
+        "host_dispatch_us": round(host_dispatch_us, 1),
+        "host_contended": contended,
+        "iters_per_step": [[p, dv] for p, dv in zip(p_iters, d_iters)],
+    }
+
+
+def main():
+    import jax
+
+    # Compilation over the tunneled TPU backend takes minutes; cache it.
+    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             ".jax_cache")
+    os.makedirs(cache_dir, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+    target_n = int(os.environ.get("BENCH_N", "100000"))
+    steps = int(os.environ.get("BENCH_STEPS", "20"))
+
+    primary = run_config(target_n, steps)
+    rows = [primary]
+    # North-star row (1M particles): recorded alongside the primary
+    # metric in every driver run (VERDICT r3 #9). Fewer steps — at
+    # ~500-900 ms/step the row still spends its time in steady state.
+    if target_n < 1_000_000 and not os.environ.get("BENCH_SKIP_1M"):
+        rows.append(run_config(1_000_000, min(steps, 10)))
+
+    out = dict(primary)
+    out["rows"] = [
+        {k: r[k] for k in (
+            "metric", "value", "ms_per_step", "pressure_iters",
+            "divergence_iters", "grid_refits_in_window",
+            "host_dispatch_us", "host_contended",
+        )}
+        for r in rows
+    ]
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

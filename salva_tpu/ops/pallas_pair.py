@@ -54,7 +54,22 @@ def _compiler_params():
     cls = getattr(pltpu, "CompilerParams", None) or getattr(
         pltpu, "TPUCompilerParams", None
     )
-    return cls(vmem_limit_bytes=_VMEM_LIMIT) if cls else None
+    if cls is None:  # pragma: no cover - depends on the JAX version
+        # Without the raised VMEM limit the hoist kernels OOM at bench
+        # window sizes (C ~ 32k needs ~37 MiB scoped VMEM vs the 16 MiB
+        # Mosaic default, ADVICE r3) — make that attributable instead of
+        # resurfacing as a bare Mosaic allocation error.
+        import warnings
+
+        warnings.warn(
+            "pallas_pair: no pltpu.CompilerParams class on this JAX "
+            f"version; cannot raise vmem_limit_bytes to {_VMEM_LIMIT} — "
+            "large grids may fail VMEM allocation in the hoist kernels",
+            RuntimeWarning,
+            stacklevel=3,
+        )
+        return None
+    return cls(vmem_limit_bytes=_VMEM_LIMIT)
 
 
 def _halo(spec: dg.DenseGridSpec) -> int:

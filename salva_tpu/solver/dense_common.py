@@ -329,6 +329,20 @@ class DenseCtx:
         if halo is None:
             self.interior = None
 
+        # Half-stencil symmetry (config.dense_half_stencil): on the
+        # full-grid roll path each +/- flat-shift pair shares one pair
+        # block (see t_pass/k_pass/_hoist). Positive shifts only; the
+        # self block (shift 0) is kept whole.
+        self.half = (
+            not self.compact
+            and halo is None
+            and bool(getattr(sim, "dense_half_stencil", True))
+        )
+        if self.half:
+            shifts = [self.spec_f.flat_shift(o) for o in self.offsets]
+            assert sorted(shifts) == sorted(-s for s in shifts), shifts
+            self.pos_shifts = tuple(s for s in shifts if s > 0)
+
         self.maskf = self.binf.mask
         self.live = self.maskf > 0
         self.uniform = getattr(sim, "uniform_particles", None)
@@ -483,6 +497,8 @@ class DenseCtx:
                 self.sim.kernel_gradient, self.P, self.M,
                 need_s2=need_s2,
             )
+        elif self.half:
+            rho_ff, Gf, sq_ff, s2_ff, cnt_ff = self._hoist_ff_half()
         else:
             rho_ff, Gf, sq_ff, s2_ff, cnt_ff = fold_pairs(
                 self.offsets, h, dim, self.P, self.maskf, self.P,
@@ -594,6 +610,125 @@ class DenseCtx:
             _, dwr = w_dwr(r2, h, dim, kg_w, kg_dw)
             yield dpos, dwr, o
 
+    # -- half-stencil machinery (config.dense_half_stencil) ------------------
+
+    def _rollj(self, arr, s: int):
+        """j-side view at flat shift ``s`` (cell c sees cell c + s)."""
+        return arr if s == 0 else jnp.roll(arr, -s, axis=-1)
+
+    def _blocks_half(self):
+        """(dpos, r2, s) for s in {0} + positive flat shifts.
+
+        Each s > 0 block covers the unordered cell-pair set {(c, c+s)}:
+        the i-side contribution reduces over the j cap axis (axis 1), the
+        mirrored j-side contribution reduces over the i cap axis (axis 0)
+        and is placed at cell c+s via ``jnp.roll(r, s)`` — the dense-roll
+        analog of the reference's half-stencil contact ``flip``
+        (`contacts.rs:202-220,300-305`). A rolled-back column can wrap
+        only when its source column held no live pair (ghost ring /
+        sentinel argument in ``dense_grid``), i.e. it moves zeros."""
+        dim = self.dim
+        for s in (0,) + self.pos_shifts:
+            pj = self._rollj(self.P, s)
+            dpos = [
+                self.P[d][:, None, :] - pj[d][None, :, :] for d in range(dim)
+            ]
+            r2 = dpos[0] * dpos[0]
+            for d in range(1, dim):
+                r2 = r2 + dpos[d] * dpos[d]
+            yield dpos, r2, s
+
+    def _t_pass_half(self, Q):
+        kg_w, kg_dw = self.kg
+        dim, h = self.dim, self.h
+        acc = jnp.zeros_like(self.maskf)
+        for dpos, r2, s in self._blocks_half():
+            _, dwr = w_dwr(r2, h, dim, kg_w, kg_dw)
+            mj = self._rollj(self.M, s)
+            qj = self._rollj(Q, s)
+            t = qj[0][None, :, :] * dpos[0]
+            for d in range(1, dim):
+                t = t + qj[d][None, :, :] * dpos[d]
+            acc = acc + jnp.sum(t * dwr * mj[None, :, :], axis=1)
+            if s:
+                # Mirror: T_j += m_i (Q_i . (p_j - p_i)) dwr = -(Q_i . dpos) dwr m_i
+                ti = Q[0][:, None, :] * dpos[0]
+                for d in range(1, dim):
+                    ti = ti + Q[d][:, None, :] * dpos[d]
+                r = jnp.sum(ti * dwr * self.M[:, None, :], axis=0)
+                acc = acc - jnp.roll(r, s, axis=-1)
+        return acc
+
+    def _k_pass_half(self, K):
+        kg_w, kg_dw = self.kg
+        dim, h = self.dim, self.h
+        MK = self.M * K
+        acc = [jnp.zeros_like(self.maskf) for _ in range(dim)]
+        for dpos, r2, s in self._blocks_half():
+            _, dwr = w_dwr(r2, h, dim, kg_w, kg_dw)
+            coeff_j = self._rollj(MK, s)[None, :, :] * dwr
+            if s:
+                coeff_i = MK[:, None, :] * dwr
+            for d in range(dim):
+                acc[d] = acc[d] + jnp.sum(dpos[d] * coeff_j, axis=1)
+                if s:
+                    # Mirror: K_j,d += (k m)_i (p_j - p_i)_d dwr.
+                    r = jnp.sum(dpos[d] * coeff_i, axis=0)
+                    acc[d] = acc[d] - jnp.roll(r, s, axis=-1)
+        return jnp.stack(acc)
+
+    def _hoist_ff_half(self):
+        """Half-stencil twin of the ff fold in :meth:`_hoist`: every
+        hoisted sum has an i<->j mirror on the shared pair block
+        (rho: m_i W; Gf: -grad m_i; sq: |grad|^2 m_i^2; s2: |grad|^2 m_i;
+        cnt: the symmetric ``within``)."""
+        kd_w, kd_dw = self.kd
+        kg_w, kg_dw = self.kg
+        dim, h = self.dim, self.h
+        h2 = h * h
+        need_s2 = self.need_s2
+        z = jnp.zeros_like(self.maskf)
+        rho, sq, s2 = z, z, z
+        cnt = jnp.zeros_like(self.maskf, dtype=jnp.int32)
+        gf = [z for _ in range(dim)]
+        mask_i = self.maskf[:, None, :] > 0
+        for dpos, r2, s in self._blocks_half():
+            _, dwr = w_dwr(r2, h, dim, kg_w, kg_dw)
+            wd, _ = w_dwr(r2, h, dim, kd_w, kd_dw)
+            within = (r2 <= h2) & mask_i & (
+                self._rollj(self.maskf, s)[None, :, :] > 0
+            )
+            mj = jnp.where(within, self._rollj(self.M, s)[None, :, :], 0.0)
+            rho = rho + jnp.sum(mj * wd, axis=1)
+            win_i = jnp.sum(within.astype(jnp.int32), axis=1)
+            cnt = cnt + win_i
+            if s:
+                mi = jnp.where(within, self.M[:, None, :], 0.0)
+                rho = rho + jnp.roll(jnp.sum(mi * wd, axis=0), s, axis=-1)
+                cnt = cnt + jnp.roll(
+                    jnp.sum(within.astype(jnp.int32), axis=0), s, axis=-1
+                )
+            gsq = jnp.zeros_like(r2)
+            for d in range(dim):
+                g_d = dpos[d] * dwr
+                gf[d] = gf[d] + jnp.sum(g_d * mj, axis=1)
+                if s:
+                    # grad_ji = -grad_ij.
+                    gf[d] = gf[d] - jnp.roll(
+                        jnp.sum(g_d * mi, axis=0), s, axis=-1
+                    )
+                gsq = gsq + g_d * g_d
+            sq = sq + jnp.sum(gsq * mj * mj, axis=1)
+            if need_s2:
+                s2 = s2 + jnp.sum(gsq * mj, axis=1)
+            if s:
+                sq = sq + jnp.roll(jnp.sum(gsq * mi * mi, axis=0), s, axis=-1)
+                if need_s2:
+                    s2 = s2 + jnp.roll(
+                        jnp.sum(gsq * mi, axis=0), s, axis=-1
+                    )
+        return rho, jnp.stack(gf), sq, s2, cnt
+
     def t_pass(self, Q):
         """T_i = sum_ff m_j (Q_j . grad_ij) for a per-slot vector Q."""
         dim = self.dim
@@ -612,6 +747,8 @@ class DenseCtx:
                 self.spec_f, self.h, self.dim, self.sim.kernel_gradient,
                 self.P, self.M, Q,
             )
+        if self.half:
+            return self._t_pass_half(Q)
         acc = jnp.zeros_like(self.maskf)
         for dpos, dwr, o in self._hot_blocks():
             mj = self.jff(self.M, o)
@@ -637,6 +774,8 @@ class DenseCtx:
                 self.spec_f, self.h, self.dim, self.sim.kernel_gradient,
                 self.P, self.M, K,
             )
+        if self.half:
+            return self._k_pass_half(K)
         acc = [jnp.zeros_like(self.maskf) for _ in range(dim)]
         for dpos, dwr, o in self._hot_blocks():
             mj = self.jff(self.M, o)

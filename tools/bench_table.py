@@ -150,6 +150,20 @@ def main():
     only = {s for s in args.only.split(",") if s}
 
     warmup, steps = (3, 5) if args.quick else (10, 30)
+    dam_sizes_all = (
+        [27_000, 97_000] if args.quick else [27_000, 97_000, 1_000_000]
+    )
+    if only:
+        # Validate the subset against the active config list: a typo (or
+        # dam_break_1000000 under --quick) would otherwise silently yield
+        # an empty run (ADVICE r3).
+        valid = set(SCENE_CONFIGS) | {f"dam_break_{n}" for n in dam_sizes_all}
+        unknown = only - valid
+        if unknown:
+            ap.error(
+                f"--only names match nothing: {sorted(unknown)}; "
+                f"valid: {sorted(valid)}"
+            )
     rows = []
     for name in SCENE_CONFIGS:
         if only and name not in only:
@@ -159,8 +173,7 @@ def main():
         except Exception as e:  # noqa: BLE001
             rows.append({"config": name, "error": str(e)[:200]})
         print(f"... {name} done", file=sys.stderr, flush=True)
-    dam_sizes = [27_000, 97_000] if args.quick else [27_000, 97_000, 1_000_000]
-    for n in dam_sizes:
+    for n in dam_sizes_all:
         if only and f"dam_break_{n}" not in only:
             continue
         try:
@@ -169,25 +182,36 @@ def main():
             rows.append({"config": f"dam_break_{n}", "error": str(e)[:200]})
         print(f"... dam {n} done", file=sys.stderr, flush=True)
 
+    # A --only subset merges into the existing table instead of
+    # truncating it to the subset rows (ADVICE r3): keep every previously
+    # recorded config that this run did not re-measure.
+    merged = rows
+    if only and os.path.exists(args.out):
+        ran = {r["config"] for r in rows}
+        with open(args.out) as f:
+            prior = [json.loads(line) for line in f if line.strip()]
+        merged = [r for r in prior if r.get("config") not in ran] + rows
+
     hdr = ("| config | N | ms/step | particle-steps/s | density err "
            "| p_iters | d_iters | overflow | refits |")
     print(hdr)
     print("|" + "---|" * 9)
     with open(args.out, "w") as f:
-        for r in rows:
+        for r in merged:
             f.write(json.dumps(r) + "\n")
-            if "error" in r:
-                print(f"| {r['config']} | ERROR: {r['error'][:60]} |" +
-                      " |" * 7)
-            else:
-                print(
-                    f"| {r['config']} | {r['n_particles']} "
-                    f"| {r['ms_per_step']:.1f} "
-                    f"| {r['particle_steps_per_sec']:.3g} "
-                    f"| {r['density_error']:.4f} | {r['pressure_iters']} "
-                    f"| {r['divergence_iters']} | {r['neighbor_overflow']} "
-                    f"| {r.get('grid_refits', 0)} |"
-                )
+    for r in merged:
+        if "error" in r:
+            print(f"| {r['config']} | ERROR: {r['error'][:60]} |" +
+                  " |" * 7)
+        else:
+            print(
+                f"| {r['config']} | {r['n_particles']} "
+                f"| {r['ms_per_step']:.1f} "
+                f"| {r['particle_steps_per_sec']:.3g} "
+                f"| {r['density_error']:.4f} | {r['pressure_iters']} "
+                f"| {r['divergence_iters']} | {r['neighbor_overflow']} "
+                f"| {r.get('grid_refits', 0)} |"
+            )
     print(f"(written to {args.out})", file=sys.stderr)
 
 
