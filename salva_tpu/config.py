@@ -181,6 +181,20 @@ class SimConfig:
     # + 7-channel scatters cost more than the vacuum they skip).
     # Disabled automatically under the halo (multi-device) path.
     dense_sparse_boundary: bool = True
+    # Sparse fluid-boundary hoist (full-grid layout with
+    # dense_sparse_boundary): the fb hoist — measured the single most
+    # expensive pair pass at the bench state (~22 ms of a 76 ms step at
+    # 97k: a full 3^dim-stencil over ALL window columns although
+    # boundaries occupy ~2% of them) — runs only over the fluid columns
+    # within one cell of an occupied boundary cell. The dilated boundary
+    # occupancy mask is compacted on device (top_k) into a static table
+    # of this many columns each substep; results scatter back into the
+    # full grid once (all other columns' fb sums are exactly zero).
+    # Overflowing adjacency columns are dropped and counted in the
+    # diagnostics. Set automatically by the world from the measured
+    # boundary cell count (x1.5 headroom, quantized); None = full-grid
+    # roll fb hoist.
+    dense_fb_columns: Optional[int] = None
     # Uniform-particle fast path: when the world holds exactly one fluid
     # whose particles share one (mass, rest density) — the common case —
     # the per-particle M/R0/FID/VOL channels are pure functions of the

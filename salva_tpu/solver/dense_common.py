@@ -425,6 +425,7 @@ class DenseCtx:
             extra = self.binf.active_overflow + self.binb.active_overflow
         elif self.sparse_b:
             extra = self.binb.active_overflow
+        extra = extra + getattr(self, "_fb_adj_overflow", 0)
         return self.binf.overflow + self.binb.overflow + extra
 
     # -- per-substep passes -------------------------------------------------
@@ -533,7 +534,11 @@ class DenseCtx:
             volb, vbvel = self._Volb_full, self._Vbvel_full
         else:
             pb, maskb, volb, vbvel = self.Pb, self.maskb, self.Volb, self.Vbvel
-        if self._use_pallas():
+        if self._fb_cols():
+            rho_fb, Gb_raw, sq_fb, s2_fb, Sb_raw, cnt_fb = (
+                self._hoist_fb_sparse(fb_body)
+            )
+        elif self._use_pallas():
             from ..ops import hoist_fb_pallas
 
             rho_fb, Gb_raw, sq_fb, s2_fb, Sb_raw, cnt_fb = hoist_fb_pallas(
@@ -564,6 +569,105 @@ class DenseCtx:
         self.count = cnt_ff + cnt_fb
         self.cnt_ff = cnt_ff
         self.cnt_fb = cnt_fb
+
+    # -- sparse fluid-boundary hoist (config.dense_fb_columns) ---------------
+
+    def _fb_cols(self) -> int:
+        """Static boundary-adjacency table size for the sparse fb hoist,
+        or 0 when the configuration doesn't support / doesn't benefit
+        from it (needs the full-grid layout with the compact boundary
+        binning for per-cell boundary occupancy)."""
+        cols = getattr(self.sim, "dense_fb_columns", None)
+        if not cols or not self.sparse_b or self.halo is not None:
+            return 0
+        cols = min(int(cols), self.spec_f.num_cells)
+        # Near-dense adjacency: gathered columns would not beat rolls.
+        if cols * 2 >= self.spec_f.num_cells:
+            return 0
+        return cols
+
+    def _hoist_fb_sparse(self, fb_body):
+        """The fb hoist over boundary-ADJACENT fluid columns only.
+
+        The full-roll fb hoist walks all 3^dim offsets over every window
+        column, although only columns within one cell of an occupied
+        boundary cell can have nonzero fb sums (walls occupy ~2% of a
+        dam-break window; measured ~22 ms of a 76 ms step at 97k). Here:
+
+        1. the boundary occupancy mask [C] (from the compact boundary
+           table) is dilated by the 3^dim flat shifts (vector rolls);
+        2. the adjacent cell ids compact into a static [AFB] table via
+           ``top_k`` (count overflow surfaces in ``bin_overflow`` — a
+           dropped column would silently lose wall contacts);
+        3. the pair fold runs over ``[cap_f, cap_b, AFB]`` gathered
+           blocks (fluid columns by table, boundary neighbors through
+           ``cell_to_active`` like the compact layout);
+        4. the outputs scatter back into full-grid arrays once (all
+           other columns are exactly zero, matching the roll path
+           bitwise: slot order inside compact boundary columns equals
+           the remat'd full-grid order).
+
+        Roll wrap-around in step 1 can mark ghost-ring columns adjacent;
+        harmless — their fluid occupancy mask is zero (interior clamp)
+        so they only consume table slots (covered by the sizing
+        headroom).
+        """
+        C = self.spec_f.num_cells
+        AFB = self._fb_cols()
+        shifts = [self.spec_f.flat_shift(o) for o in self.offsets]
+
+        occ = (
+            jnp.zeros((C + 1,), bool)
+            .at[jnp.where(self._b_is_void, C, self._b_active)]
+            .set(True)[:C]
+        )
+        adj = occ
+        for s in shifts:
+            if s != 0:
+                adj = adj | jnp.roll(occ, s)
+        iota = jnp.arange(C, dtype=jnp.int32)
+        key = jnp.where(adj, C - iota, 0)
+        vals, af = jax.lax.top_k(key, AFB)
+        got = vals > 0
+        n_adj = jnp.sum(adj.astype(jnp.int32))
+        self._fb_adj_overflow = jnp.maximum(n_adj - AFB, 0)
+        af_g = jnp.where(got, af, 0)
+
+        # i-side: gathered fluid columns (mask zeroed on unused slots).
+        Pi = self.P[..., af_g]
+        maski = jnp.where(got[None, :], self.maskf[..., af_g], 0.0)
+
+        # j-side: boundary compact columns of each table cell's 3^dim
+        # neighbors (void column for inactive cells).
+        sh = jnp.asarray(shifts, jnp.int32)
+        nfb = self.binb.cell_to_active[
+            jnp.clip(af_g[:, None] + sh[None, :], 0, C)
+        ]  # [AFB, 3^dim]
+
+        def jview(arr, o):
+            return arr[..., nfb[:, o]]
+
+        z = jnp.zeros_like(maski)
+        rho, Gb, sq, s2, sb, cnt = fold_pairs(
+            self.offsets, self.h, self.dim, Pi, maski, self.Pb, self.maskb,
+            jview, {"vol": self.Volb, "vb": self.Vbvel}, fb_body,
+            (z, jnp.zeros_like(Pi), z, z, z,
+             jnp.zeros_like(maski, dtype=jnp.int32)),
+        )
+
+        # Scatter back to the full grid: one packed float scatter + one
+        # int scatter (unused table slots target the dropped column C).
+        af_sc = jnp.where(got, af, C)
+        packed = jnp.concatenate(
+            [rho[None], Gb, sq[None], s2[None], sb[None]], axis=0
+        )
+        fullf = jnp.zeros(packed.shape[:-1] + (C + 1,), packed.dtype)
+        fullf = fullf.at[..., af_sc].set(packed, mode="drop")[..., :C]
+        fulli = jnp.zeros(cnt.shape[:-1] + (C + 1,), cnt.dtype)
+        fulli = fulli.at[..., af_sc].set(cnt, mode="drop")[..., :C]
+        dim = self.dim
+        return (fullf[0], fullf[1:1 + dim], fullf[1 + dim],
+                fullf[2 + dim], fullf[3 + dim], fulli)
 
     # -- per-iteration passes -----------------------------------------------
 

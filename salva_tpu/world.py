@@ -213,6 +213,12 @@ class LiquidWorld:
         # inside a timed section).
         self.grid_refit_count = 0
         self._full_bvol_stale = True
+        # Sparse fb-hoist adjacency table size (config.dense_fb_columns):
+        # measured from the boundary's occupied-cell count, cached until
+        # the boundary set changes (capacity key); kinematic movement
+        # within a capacity is covered by the x1.5 sizing headroom + the
+        # overflow diagnostics.
+        self._fb_cols_cache: Optional[tuple] = None
         self._last_dt = 1.0 / 60.0
         self.sim = SimConfig(
             dim=dim,
@@ -920,6 +926,9 @@ class LiquidWorld:
                 self._initial_fit()
             if sim.fitted_dims != self._fitted_dims:
                 sim = sim.replace(fitted_dims=self._fitted_dims)
+            fbc = self._resolved_fb_columns(sim)
+            if sim.dense_fb_columns != fbc:
+                sim = sim.replace(dense_fb_columns=fbc)
         if sim.layout != "auto" or sim.domain is None:
             return sim
         mins, maxs = sim.domain
@@ -1123,6 +1132,38 @@ class LiquidWorld:
             req_f if req_f is not None else auto_f,
             req_b if req_b is not None else auto_b,
         )
+
+    def _resolved_fb_columns(self, sim: SimConfig) -> Optional[int]:
+        """Static boundary-adjacency table size for the sparse fb hoist
+        (config.dense_fb_columns): 1.5x the measured dilated
+        boundary-occupied cell count, quantized to 512 columns so
+        boundary drift doesn't recompile. None disables (no boundaries,
+        or the compact layout which is already occupancy-scaled)."""
+        if sim.dense_compact or not sim.dense_sparse_boundary:
+            return None
+        bd = self.boundaries_state
+        cap_key = bd.capacity
+        if self._fb_cols_cache is not None and (
+            self._fb_cols_cache[0] == cap_key
+        ):
+            return self._fb_cols_cache[1]
+        alive = np.asarray(bd.alive)
+        if not alive.any():
+            self._fb_cols_cache = (cap_key, None)
+            return None
+        pos = np.asarray(bd.positions)[alive]
+        h = sim.h
+        origin = np.asarray(sim.domain[0], np.float64) - 2 * h
+        c = np.floor((pos - origin) / h).astype(np.int64)
+        cells = np.unique(c, axis=0)
+        offs = np.array(
+            np.meshgrid(*([[-1, 0, 1]] * self.dim), indexing="ij")
+        ).reshape(self.dim, -1).T
+        dilated = (cells[:, None, :] + offs[None, :, :]).reshape(-1, self.dim)
+        n = len(np.unique(dilated, axis=0))
+        cols = int(-(-(n * 3) // (2 * 512)) * 512)
+        self._fb_cols_cache = (cap_key, cols)
+        return cols
 
     def _uniform_particles(self):
         """(handle, mass, density0) when all live particles provably share
