@@ -322,14 +322,38 @@ def build_sharded_step_fn(sim, solver_cfg, forces, num_fluids: int,
     # routes the outputs back. Received blocks preserve source order, so
     # per-cell ranks — and therefore the grids — are bitwise equal to the
     # replicated path.
-    if any(isinstance(f, ParticleWiseForce) for f in dense_forces):
-        raise ValueError(
-            "sharded_binning does not support particle-wise forces "
-            "(elasticity reads cross-slice rest topology); use the "
-            "replicated path"
-        )
+    # Particle-wise forces (elasticity): the rest topology is STATIC in
+    # row space (rest contacts are captured once, in home-row indices,
+    # `becker2009_elasticity.rs:84-113`) while the binning migration
+    # reshuffles rows by their CURRENT x-slab every substep — so the
+    # force is evaluated on the home-sharded rows BEFORE migration and
+    # its acceleration routed along with the particle arrays. v1
+    # replicates the per-particle evaluation (positions all_gather +
+    # each device keeps its slice): elasticity scenes are small relative
+    # to the pair-pass work this path shards, and the gather is
+    # O(N * dim) over ICI. A slab-haloed rest-topology partition is the
+    # next refinement if per-particle work ever dominates.
+    pw_forces = tuple(
+        f for f in dense_forces if isinstance(f, ParticleWiseForce)
+    )
 
-    def mig_substep(fl, bd, ss, dt, gravity):
+    def _pw_accel(fl, es):
+        """Elasticity accel for this device's HOME rows: all_gather the
+        full fluid state, evaluate per-particle (replicated), slice."""
+        nl = fl.positions.shape[0]
+        full = jax.tree_util.tree_map(
+            lambda a: jax.lax.all_gather(
+                a, axis_name, axis=0, tiled=True
+            ),
+            fl,
+        )
+        a_full = jnp.zeros((n_dev * nl, sim.dim), jnp.float32)
+        for f in pw_forces:
+            a_full = a_full + f.force.apply_particles(full, es, sim.dim)
+        i0 = jax.lax.axis_index(axis_name) * nl
+        return jax.lax.dynamic_slice_in_dim(a_full, i0, nl, axis=0)
+
+    def mig_substep(fl, bd, ss, es, dt, gravity):
         nl = fl.positions.shape[0]
         # Per-(src, dst) buffer: ~N/n_dev^2 with x-decorrelated slices
         # (see shard_interleave) x 2.5 imbalance headroom; overflow is
@@ -344,11 +368,14 @@ def build_sharded_step_fn(sim, solver_cfg, forces, num_fluids: int,
         fl_leaves, fl_def = jax.tree_util.tree_flatten(fl)
         ss_leaves, ss_def = jax.tree_util.tree_flatten(ss)
         nf = len(fl_leaves)
+        pw_leaves = [_pw_accel(fl, es)] if pw_forces else []
         recv, dst_f, over_f = _route_out(
-            fl_leaves + ss_leaves, tf, cap_f, axis_name, n_dev
+            fl_leaves + ss_leaves + pw_leaves, tf, cap_f, axis_name, n_dev
         )
+        ns = nf + len(ss_leaves)
         lfl = jax.tree_util.tree_unflatten(fl_def, recv[:nf])
-        lss = jax.tree_util.tree_unflatten(ss_def, recv[nf:])
+        lss = jax.tree_util.tree_unflatten(ss_def, recv[nf:ns])
+        l_apw = recv[ns] if pw_forces else None
 
         tb = _slab_targets(spec_b, nxl, n_dev, bd.positions, bd.alive)
         bd_leaves, bd_def = jax.tree_util.tree_flatten(bd)
@@ -357,7 +384,9 @@ def build_sharded_step_fn(sim, solver_cfg, forces, num_fluids: int,
         )
         lbd = jax.tree_util.tree_unflatten(bd_def, recv_b)
 
-        nfl, nbd, nss, diag = substep(lfl, lbd, lss, None, dt, gravity)
+        nfl, nbd, nss, diag = substep(
+            lfl, lbd, lss, None, dt, gravity, a_pw=l_apw
+        )
 
         nfl_leaves = jax.tree_util.tree_flatten(nfl)[0]
         nss_leaves = jax.tree_util.tree_flatten(nss)[0]
@@ -380,12 +409,11 @@ def build_sharded_step_fn(sim, solver_cfg, forces, num_fluids: int,
         return fl2, bd2, ss2, diag
 
     def step(fluids, boundaries, solver_state, es, dt, gravity):
-        del es  # particle-wise forces rejected above
         sub_dt = dt / n_sub
         diag = None
         for _ in range(n_sub):
             fluids, boundaries, solver_state, diag = mig_substep(
-                fluids, boundaries, solver_state, sub_dt, gravity
+                fluids, boundaries, solver_state, es, sub_dt, gravity
             )
         return fluids, boundaries, solver_state, diag
 

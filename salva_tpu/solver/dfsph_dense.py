@@ -52,7 +52,12 @@ def build_dense_substep(sim: SimConfig, cfg: DFSPHConfig, num_fluids: int,
     warm = float(getattr(cfg, "warm_start", 0.0))
 
     def substep(fluids: FluidsState, boundaries: BoundariesState,
-                solver_state, es, dt, gravity):
+                solver_state, es, dt, gravity, a_pw=None):
+        # ``a_pw``: optional externally-computed particle-wise force
+        # acceleration [N, dim] (sharded-binning path: elasticity is
+        # evaluated on the HOME-sharded rows before migration — the rest
+        # topology is static in row space — and routed here with the
+        # particle arrays; see parallel/domain.py).
         dt = jnp.asarray(dt, jnp.float32)
         inv_dt = jnp.where(dt > 0, 1.0 / dt, 0.0)
         boundaries = boundaries.clear_forces()
@@ -164,9 +169,11 @@ def build_dense_substep(sim: SimConfig, cfg: DFSPHConfig, num_fluids: int,
             for force in dense_forces:
                 if isinstance(force, ParticleWiseForce):
                     # Static-topology force (elasticity): particle layout,
-                    # one scatter into the grid.
-                    a_p = force.force.apply_particles(fluids, es, dim)
-                    A = A + ctx.to_f(a_p) * maskf[None]
+                    # one scatter into the grid. Skipped when the caller
+                    # supplied the precomputed accel (a_pw below).
+                    if a_pw is None:
+                        a_p = force.force.apply_particles(fluids, es, dim)
+                        A = A + ctx.to_f(a_p) * maskf[None]
                     continue
                 a_d, fb_d = force.apply(fields)
                 A = A + a_d * maskf[None]
@@ -175,6 +182,8 @@ def build_dense_substep(sim: SimConfig, cfg: DFSPHConfig, num_fluids: int,
                     any_fb = True
             if any_fb:
                 np_Fb = np_Fb + ctx.np_fb_to_native(np_Fb_force)
+        if a_pw is not None:
+            A = A + ctx.to_f(a_pw) * maskf[None]
         DV = DV + A * dt
         if halo is not None:
             # Single-roll force passes are valid on owned cells only.

@@ -34,7 +34,10 @@ def build_dense_substep(sim: SimConfig, cfg: IISPHConfig, num_fluids: int,
     dim = sim.dim
 
     def substep(fluids: FluidsState, boundaries: BoundariesState,
-                pressures, es, dt, gravity):
+                pressures, es, dt, gravity, a_pw=None):
+        # ``a_pw``: optional precomputed particle-wise force accel (the
+        # sharded-binning path evaluates elasticity on home-sharded rows
+        # before migration; see dfsph_dense.py / parallel/domain.py).
         dt = jnp.asarray(dt, jnp.float32)
         inv_dt = jnp.where(dt > 0, 1.0 / dt, 0.0)
         dt2 = dt * dt
@@ -68,8 +71,9 @@ def build_dense_substep(sim: SimConfig, cfg: IISPHConfig, num_fluids: int,
             any_fb = False
             for force in dense_forces:
                 if isinstance(force, ParticleWiseForce):
-                    a_p = force.force.apply_particles(fluids, es, dim)
-                    A = A + ctx.to_f(a_p) * maskf[None]
+                    if a_pw is None:
+                        a_p = force.force.apply_particles(fluids, es, dim)
+                        A = A + ctx.to_f(a_p) * maskf[None]
                     continue
                 a_d, fb_d = force.apply(fields)
                 A = A + a_d * maskf[None]
@@ -78,6 +82,8 @@ def build_dense_substep(sim: SimConfig, cfg: IISPHConfig, num_fluids: int,
                     any_fb = True
             if any_fb:
                 np_Fb = np_Fb + ctx.np_fb_to_native(np_Fb_force)
+        if a_pw is not None:
+            A = A + ctx.to_f(a_pw) * maskf[None]
         DV = A * dt
         if halo is not None:
             # Force passes are valid on owned cells only; the predicted

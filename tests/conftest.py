@@ -31,6 +31,17 @@ jax.config.update("jax_platforms", "cpu")
 
 assert jax.devices()[0].platform == "cpu", jax.devices()
 
+# Persistent compilation cache (VERDICT r3 #8: suite wall time): the
+# suite's cost is dominated by XLA CPU compiles of repeated step
+# programs; caching them on disk makes every rerun (CI retries, local
+# iteration, the nightly full tier) skip straight to execution. Keyed on
+# HLO + platform + flags, so CPU test programs and tunneled-TPU bench
+# programs coexist in one directory. ``make clean`` resets it.
+jax.config.update(
+    "jax_compilation_cache_dir", os.path.join(_REPO_ROOT, ".jax_cache")
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
 
 import pytest  # noqa: E402
 

@@ -41,6 +41,12 @@ from salva_tpu.world import Boundary, Fluid, LiquidWorld
 
 RADIUS = 0.05
 
+# Every equivalence test here compiles 8-device shard_map programs
+# (minutes each on a CPU host) -> nightly tier (VERDICT r3 #8); the
+# per-push tier covers sharding compile-correctness via entry-check's
+# dryrun_multichip instead.
+pytestmark = [pytest.mark.slow]
+
 
 def _world_3d(np_forces=(), solver=None):
     world = LiquidWorld(
@@ -168,6 +174,65 @@ def test_sharded_dfsph_viscosity_matches_single_device():
         np.asarray(fs.positions), np.asarray(f1.positions), atol=1e-5
     )
     assert int(ds.solver.pressure_iters) == int(d1.solver.pressure_iters)
+
+
+def test_sharded_binning_elasticity_matches_single_device():
+    """Sharded binning + particle-wise elasticity (VERDICT r3 #7): the
+    rest-contact topology is static in HOME-row space while migration
+    reshuffles rows by current slab, so the force is evaluated on the
+    home-sharded rows before the all-to-all and its acceleration routed
+    with the particle arrays — must match the single-device dense path
+    bitwise-to-tolerance, including iteration counts."""
+    from salva_tpu.parallel.domain import get_jitted_sharded_step_fn as gf
+
+    world = LiquidWorld(
+        solver=DFSPHConfig(), particle_radius=RADIUS, dim=3,
+        neighbors=NeighborConfig(max_neighbors=48, max_candidates=192,
+                                 query_chunk=16384),
+        domain=((-1.2, -0.5, -1.2), (1.2, 1.6, 1.2)),
+        layout="dense",
+    )
+    pos = cube_fluid((6, 6, 6), RADIUS)
+    pos[:, 1] += 0.45
+    world.add_fluid(
+        Fluid(pos, density0=1000.0, nonpressure_forces=[
+            forces.Becker2009Elasticity(50_000.0, 0.3, True),
+        ])
+    )
+    box = shapes.Cuboid((1.0, 0.1, 1.0))
+    world.add_boundary(Boundary(shape_surface_sample(box, RADIUS, 3)))
+    world._prepare()
+    es = world._elasticity_state
+    assert es is not None
+
+    mesh = make_mesh(8, axis_name="x")
+    mig = gf(world.sim, world.solver_config, world._force_set, 1, mesh,
+             sharded_binning=True)
+    single = get_jitted_step_fn(
+        world.sim, world.solver_config, world._force_set, 1
+    )
+
+    def run(step_fn):
+        fl, bd, ss = (world.fluids_state, world.boundaries_state,
+                      world._solver_state)
+        dt = jnp.float32(1.0 / 200.0)
+        g = jnp.asarray([0.0, -9.81, 0.0], jnp.float32)
+        diag = None
+        for _ in range(5):
+            fl, bd, ss, diag = step_fn(fl, bd, ss, es, dt, g)
+        return fl, bd, diag
+
+    fm, bm, dm = run(mig)
+    f1, b1, d1 = run(single)
+    np.testing.assert_allclose(
+        np.asarray(fm.positions), np.asarray(f1.positions), atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(fm.velocities), np.asarray(f1.velocities), atol=1e-4
+    )
+    assert int(dm.solver.pressure_iters) == int(d1.solver.pressure_iters)
+    assert int(dm.solver.divergence_iters) == int(d1.solver.divergence_iters)
+    assert int(dm.candidate_overflow) == int(d1.candidate_overflow)
 
 
 def test_sharded_rejects_unsupported_force():

@@ -127,7 +127,7 @@ def main():
         timed_step("full unfitted grid", w)
 
     if "caps" in variants:
-        for cap in (8, 10, 16):
+        for cap in (10, 12):
             w = build_world(n_target, cap=cap)
             run_to_impact(w, 3)
             timed_step(f"full cap={cap}", w)
