@@ -3,12 +3,18 @@
 
 PY ?= python
 
-.PHONY: test test-fast native scenes bench entry-check clean
+.PHONY: test test-full test-fast native scenes bench entry-check clean
 
-# test_domain compiles the largest XLA programs (8-device shard_map);
-# it runs in its own interpreter so the CPU compiler gets a fresh heap
-# (see tests/test_domain.py::_fresh_compile_caches).
+# Default tier: everything except @slow (the multi-minute shard_map
+# compile tests — covered per-push by entry-check's 8-device dryrun).
 test:
+	$(PY) -m pytest tests/ -x -q -m "not slow"
+
+# Nightly tier: the whole suite. test_domain compiles the largest XLA
+# programs (8-device shard_map); it runs in its own interpreter so the
+# CPU compiler gets a fresh heap (see _fresh_compile_caches). Reruns are
+# fast: compiled programs persist in .jax_cache (tests/conftest.py).
+test-full:
 	$(PY) -m pytest tests/ -x -q --ignore=tests/test_domain.py
 	$(PY) -m pytest tests/test_domain.py -x -q
 

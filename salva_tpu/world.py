@@ -1024,8 +1024,21 @@ class LiquidWorld:
                 return
             growing = not ok
         if growing:
-            overshoot = (np.ceil(cur * 1.3 / 4.0) * 4).astype(int)
-            dims = np.minimum(np.maximum(dims, overshoot), full)
+            # Geometric overshoot PER AXIS: only axes that actually ran
+            # out of room overshoot (x1.3); the others keep their current
+            # size — or shrink to the need-based size when that is a
+            # meaningful (>= 1.3x) reduction, since this recompile is
+            # already paid for. A dam break grows in x/z while its y
+            # extent collapses; whole-window overshoot inflated every
+            # axis (measured 64x61x64 = 250k columns at the 1M bench vs
+            # ~188k needed — every column-scaled cost pays it).
+            grow_axis = cur < need + 4
+            target = np.where(
+                grow_axis,
+                np.ceil(cur * 1.3 / 4.0) * 4,
+                np.where(dims * 1.3 <= cur, dims, cur),
+            ).astype(int)
+            dims = np.minimum(np.maximum(dims, target), full)
         if float(np.prod(dims)) >= 0.85 * float(np.prod(full)):
             new = None  # window ~= domain: not worth it
         else:
@@ -1122,7 +1135,17 @@ class LiquidWorld:
                 self.boundaries_state.positions, self.boundaries_state.alive
             )
             # Fluids compress transiently (dam-break impact): require
-            # headroom before picking the cheap tier.
+            # headroom before picking the cheap tier. A 12 tier was
+            # measured 1.40x faster at the 1M dam break PRE-impact
+            # (495 vs 694 ms/step, tools/profile_stages VARIANTS=caps)
+            # but rejected: the impact front compresses cells to
+            # occupancy 14-16 (tools/exp_maxocc.py, 97k: occ 12 pre-
+            # impact, 14-16 through steps 30-70 with a transient 39-entry
+            # overflow even at cap 16), so 12 would shed contacts right
+            # at the most dynamic moment and bump-recompile mid-run.
+            # Harvesting that 1.4x needs a dense+spill structure (small
+            # compacted overflow list beside a cap-8/12 grid), not a
+            # tier change.
             cap_f = 8 if occ_f <= 5 else 16
             cap_b = max(8, -(-(occ_b + 2) // 8) * 8)
             self._auto_caps = (cap_f, cap_b)

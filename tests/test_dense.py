@@ -433,6 +433,22 @@ def test_refit_growth_overshoots_geometrically():
     assert w._fitted_dims == big and w.grid_refit_count == 1
 
 
+def test_refit_overshoot_is_per_axis():
+    """Only the axis that ran out of room overshoots; an axis whose
+    extent collapsed (dam-break y) shrinks to its need-based size in the
+    same (already-paid-for) recompile instead of being dragged up x1.3
+    with the growing axis (measured 250k vs ~188k columns at 1M)."""
+    w = _fit_world()
+    w._fitted_dims = (16, 40)
+    # x: extent 17 cells -> out of room (16 < 18 + 4); y: tiny extent.
+    w._refit_dims(np.array([0.0, 0.0]),
+                  np.array([17 * w.sim.h, 2 * w.sim.h]), 0.0)
+    assert w.grid_refit_count == 1
+    dx, dy = w._fitted_dims
+    assert dx >= 24  # ceil(16 * 1.3 / 4) * 4
+    assert dy <= 16  # shrunk toward need, NOT >= ceil(40 * 1.3)
+
+
 def test_reserve_grid_window_sets_floor():
     """reserve_grid_window pre-sizes the window to the declared corridor
     and hysteresis never shrinks below it (the reserve exists so mid-run
