@@ -14,6 +14,12 @@ them with sort/gather primitives:
 
 Outputs are asserted equal (same sort => same determinism contract).
 
+MEASURED (v5e, 1M, C=216k, 2026-08-19): current 44.8 ms, v2 72.3 ms —
+REJECTED. The second bitonic sort (inverse permutation) costs more
+than all three scatters it replaces; XLA TPU index scatters run well
+above the round-2 8M-idx/s estimate at these sizes. The scatter
+formulation stays.
+
 Usage: python tools/exp_bin2.py [N]
 """
 
