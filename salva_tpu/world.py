@@ -1233,6 +1233,20 @@ class LiquidWorld:
         self.counters.reset()
         self.counters.step_time.start()
         self._last_dt = float(dt)
+        if (
+            self._fit_grid
+            and self._initial_fit_done
+            and self._steps_taken == 0
+            and self._fitted_dims is not None
+        ):
+            # A pre-step fit (explicit `_prepare()` before the first
+            # step) sized the window's velocity slack with the DEFAULT
+            # dt (1/60); with the real dt now known, redo the fit from
+            # scratch — nothing is compiled yet, so adopting the tight
+            # window is free. Measured: the stale-dt window carried
+            # 36x34x36 columns at 97k vs the 32^3 a dt=1/200 fit needs.
+            self._fitted_dims = None
+            self._initial_fit()
         self._apply_particles_removal()
         self._prepare()
         gravity = jnp.asarray(gravity, jnp.float32)

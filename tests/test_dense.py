@@ -449,6 +449,49 @@ def test_refit_overshoot_is_per_axis():
     assert dy <= 16  # shrunk toward need, NOT >= ceil(40 * 1.3)
 
 
+def test_first_step_refits_stale_dt_window():
+    """An explicit _prepare() before the first step sizes the window's
+    velocity slack with the default dt (1/60); the first real step must
+    redo the fit with the true dt (nothing is compiled yet) instead of
+    carrying ~30% extra columns for the whole run."""
+    import jax.numpy as jnp
+    from salva_tpu.sampling import shape_surface_sample
+    from salva_tpu import shapes
+    from salva_tpu.scenes import cube_fluid
+    from salva_tpu.world import Boundary, Fluid
+
+    def make():
+        w = LiquidWorld(
+            solver=DFSPHConfig(), particle_radius=RADIUS, dim=2,
+            neighbors=NeighborConfig(max_neighbors=32, max_candidates=96,
+                                     query_chunk=4096),
+            domain=((-4.0, -0.3), (4.0, 30.0)), layout="dense",
+        )
+        pos = cube_fluid((8, 8), RADIUS)
+        pos[:, 1] += 1.0
+        vel = np.zeros_like(pos)
+        vel[:, 1] = -2.0
+        w.add_fluid(Fluid(pos, density0=1000.0, velocities=vel))
+        box = shapes.Cuboid((2.0, 0.1))
+        w.add_boundary(Boundary(shape_surface_sample(box, RADIUS, 2)))
+        return w
+
+    w = make()
+    w._prepare()
+    w._effective_sim()  # triggers the fit at the default dt
+    stale = w._fitted_dims
+    assert stale is not None
+    w.step(1.0 / 200.0, (0.0, -9.81))
+    fresh = w._fitted_dims
+    assert fresh is not None
+
+    w2 = make()
+    w2.step(1.0 / 200.0, (0.0, -9.81))  # fit directly at the true dt
+    assert fresh == w2._fitted_dims
+    # and never larger than the stale-dt fit
+    assert all(a <= b for a, b in zip(fresh, stale))
+
+
 def test_reserve_grid_window_sets_floor():
     """reserve_grid_window pre-sizes the window to the declared corridor
     and hysteresis never shrinks below it (the reserve exists so mid-run
