@@ -1334,17 +1334,25 @@ class LiquidWorld:
             self._overflow_alert = max(
                 getattr(self, "_overflow_alert", 0) - 1, 0
             )
+            refits_before = self.grid_refit_count
             self._warn_on_overflow()
             self._maybe_refit_grid()
             # Window-escape latency (measured: impact-splash velocity
             # spikes outrun the vmax-sized slack between interval
             # checks, clamping ~1% of particles into the border ring
-            # until the next check): when a check sees clamped
-            # particles, keep checking EVERY step until clean — the
-            # extent diagnostics cover escapees (they are computed from
-            # true positions), so the very next refit re-covers them.
+            # until the next check): when a check sees clamped particles
+            # AND the refit just resized (i.e. a bigger window actually
+            # helps), keep checking EVERY step until the window stops
+            # moving. Clamps the window cannot fix — particles escaped
+            # the DOMAIN box, or the window already covers the extent —
+            # must NOT alert: each check forces a device sync, and a
+            # permanent-clamp scene would pay it on every step forever.
             d = self.last_diagnostics
-            if d is not None and int(d.candidate_overflow) > 0:
+            if (
+                self.grid_refit_count != refits_before
+                and d is not None
+                and int(d.candidate_overflow) > 0
+            ):
                 self._overflow_alert = max(self.overflow_check_interval, 1)
 
     def _warn_on_overflow(self):

@@ -107,6 +107,16 @@ def run_dam_row(n_target, warmup, steps):
     samples[:, 1] -= 0.1
     world.add_boundary(Boundary(samples))
 
+    # Reserve the (warmup + steps)-horizon corridor up front so the
+    # fitted window never grows MID-RUN: a growth refit is a full XLA
+    # recompile, and _timed's rerun-on-refit policy would slide the
+    # timed window into the deep-splash regime (round-4 diagnosis:
+    # steps 41-70 measured 168 ms/step at 27k vs 31 ms at the bench's
+    # steps 11-30 — 2x iterations + a grown window + escape churn),
+    # making rows incomparable round-over-round. reserve() adds 4 cells
+    # of slack per side — enough for the ~0.2 s of spread simulated.
+    world.reserve_grid_window(pos.min(axis=0), pos.max(axis=0))
+
     dt, g = 1.0 / 200.0, (0.0, -9.81, 0.0)
     for _ in range(warmup):
         world.step(dt, g)
