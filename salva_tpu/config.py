@@ -195,6 +195,26 @@ class SimConfig:
     # boundary cell count (x1.5 headroom, quantized); None = full-grid
     # roll fb hoist.
     dense_fb_columns: Optional[int] = None
+    # Dense+spill pair structure (full-grid layout, half stencil,
+    # sparse boundary; single device): the main grid keeps a SMALL cap
+    # (pair-block cost scales with cap_i x roundup(cap_j, 8), so e.g.
+    # tier 12 runs the 1M dam break 1.40x faster than 16) and particles
+    # beyond that rank — only a handful of cells exceed the tier even in
+    # deep splash (measured 97k dam break: <= 109 cells > 12 of ~13k
+    # occupied) — land in compact SPILL columns appended to the column
+    # axis instead of being dropped. Spill interactions run as small
+    # gathered pair blocks (spill-i x 3^dim neighbors; adjacent-main-i x
+    # condensed spill-j) added to every pass. This removes the
+    # contact-shedding hazard that forced the conservative 16 tier.
+    # ``dense_spill_columns`` = spill table size E (None = off);
+    # ``dense_spill_adj_columns`` = adjacency table size for the
+    # main-i <- spill-j block (None = min(16 * E, cells));
+    # ``dense_spill_k`` = max spill cells adjacent to one main column
+    # (the condensed j-table width). All overflows are counted in the
+    # step diagnostics and auto-grown by the world.
+    dense_spill_columns: Optional[int] = None
+    dense_spill_adj_columns: Optional[int] = None
+    dense_spill_k: int = 8
     # Uniform-particle fast path: when the world holds exactly one fluid
     # whose particles share one (mass, rest density) — the common case —
     # the per-particle M/R0/FID/VOL channels are pure functions of the

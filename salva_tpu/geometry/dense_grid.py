@@ -113,6 +113,24 @@ class Binned(NamedTuple):
     - ``grid_src``: [cap, C] int32 particle index feeding each slot
       (N = empty) — lets ``to_grid_multi`` bin every channel with ONE
       packed row gather instead of per-channel scatters.
+
+    With ``spill_cols = E > 0`` (the dense+spill pair structure,
+    ``config.dense_spill_columns``) the column axis is EXTENDED to
+    ``C + E + 1``: columns ``[C, C+E)`` are *spill columns* — one per
+    cell whose occupancy exceeds ``cap``, holding ranks
+    ``cap..cap+spill_rows-1`` in their rows ``0..spill_rows-1`` — and
+    column ``C+E`` is a void column (sentinel positions, zero masks)
+    absorbing all "no spill neighbor" gathers. ``mask`` / ``grid_src`` /
+    ``slot_of`` then cover the extended axis, so every layout shuffle
+    (``to_grid`` / ``from_grid`` / the packed multi variants) works
+    unchanged; only the pair passes need to know the structure
+    (``dense_common.DenseCtx``). Extra fields:
+
+    - ``spill_cells``: [E] int32 flat cell id per spill column (unused
+      slots hold ``C``), in ascending cell order (deterministic);
+    - ``cell_to_spill``: [C] int32 inverse map (no spill -> E);
+    - ``spill_col_overflow``: [] int32 over-cap cells beyond E (their
+      over-rank particles are dropped and counted in ``overflow``).
     """
 
     slot_of: jnp.ndarray
@@ -121,6 +139,9 @@ class Binned(NamedTuple):
     overflow: jnp.ndarray
     clamped: jnp.ndarray
     grid_src: jnp.ndarray = None
+    spill_cells: jnp.ndarray = None
+    cell_to_spill: jnp.ndarray = None
+    spill_col_overflow: jnp.ndarray = None
 
 
 def cell_of(spec: DenseGridSpec, positions, origin=None):
@@ -159,13 +180,18 @@ def _sorted_ranks(key):
 
 
 def bin_particles(spec: DenseGridSpec, positions, alive,
-                  drop_clamped: bool = False, origin=None) -> Binned:
+                  drop_clamped: bool = False, origin=None,
+                  spill_cols: int = 0, spill_rows: int = 8) -> Binned:
     """Assign each alive particle a (cell, rank) slot (deterministic).
 
     ``drop_clamped=True`` excludes out-of-box particles from the grid
     instead of clamping them to the border ring — used for boundary
     particles under a fluid-fitted grid window (they are > h away from
-    any fluid by the fitting margin, so dropping them is exact)."""
+    any fluid by the fitting margin, so dropping them is exact).
+
+    ``spill_cols = E > 0`` enables the dense+spill structure (see
+    :class:`Binned`): ranks ``cap..cap+spill_rows-1`` of over-cap cells
+    land in compact spill columns instead of being dropped."""
     n = positions.shape[0]
     C = spec.num_cells
     cap = spec.cap
@@ -208,10 +234,82 @@ def bin_particles(spec: DenseGridSpec, positions, alive,
     mask = valid.T.astype(jnp.float32)
 
     fits = alive & (rank < cap)
+    clamped = jnp.sum((alive & clamped_mask).astype(jnp.int32))
+
+    if spill_cols:
+        E = int(spill_cols)
+        cap2 = min(int(spill_rows), cap)
+        # Spill columns in ascending cell order: cumsum of the over-cap
+        # occupancy mask (deterministic; one O(C) scan per substep).
+        iota_c = jnp.arange(C, dtype=jnp.int32)
+        over_cell = counts > cap
+        sidx = jnp.cumsum(over_cell.astype(jnp.int32)) - 1  # [C]
+        in_table = over_cell & (sidx < E)
+        tgt = jnp.where(in_table, sidx, E)
+        spill_cells = (
+            jnp.full((E,), C, jnp.int32).at[tgt].set(iota_c, mode="drop")
+        )
+        cell_to_spill = jnp.where(in_table, sidx, E)  # [C]
+        spill_col_overflow = jnp.sum(
+            (over_cell & (sidx >= E)).astype(jnp.int32)
+        )
+
+        # Spill slot feeds (same packed-row-gather formulation as the
+        # main grid): spill slot (e, r) <- sorted position
+        # starts[cell_e] + cap + r.
+        used = spill_cells < C
+        sc_g = jnp.minimum(spill_cells, C - 1)
+        s_counts = jnp.where(
+            used, jnp.minimum(counts[sc_g] - cap, cap2), 0
+        )
+        r2_ = jnp.arange(cap2, dtype=jnp.int32)
+        valid_s = r2_[None, :] < s_counts[:, None]  # [E, cap2]
+        src_sorted_s = jnp.where(
+            valid_s, starts[sc_g][:, None] + cap + r2_[None, :], n
+        )
+        grid_src_s = order_ext[jnp.minimum(src_sorted_s, n)].T  # [cap2, E]
+        mask_s = valid_s.T.astype(jnp.float32)
+        if cap2 < cap:
+            pad = ((0, cap - cap2), (0, 0))
+            grid_src_s = jnp.pad(grid_src_s, pad, constant_values=n)
+            mask_s = jnp.pad(mask_s, pad)
+
+        grid_src = jnp.concatenate(
+            [grid_src, grid_src_s, jnp.full((cap, 1), n, jnp.int32)],
+            axis=1,
+        )
+        mask = jnp.concatenate(
+            [mask, mask_s, jnp.zeros((cap, 1), jnp.float32)], axis=1
+        )
+
+        # Extended slot ids (flat layout col * cap + row over C + E + 1
+        # columns, matching to_grid/from_grid's reshape).
+        sidx_p = cell_to_spill[jnp.minimum(cell, C - 1)]
+        in_spill = (
+            alive & (rank >= cap) & (rank < cap + cap2) & (sidx_p < E)
+        )
+        oob = (C + E + 1) * cap
+        slot = jnp.where(
+            fits, cell * cap + rank,
+            jnp.where(in_spill, (C + sidx_p) * cap + (rank - cap), oob),
+        )
+        fits = fits | in_spill
+        overflow = jnp.sum((alive & jnp.logical_not(fits)).astype(jnp.int32))
+        return Binned(
+            slot_of=slot,
+            in_grid=fits,
+            mask=mask,
+            overflow=overflow,
+            clamped=clamped,
+            grid_src=grid_src,
+            spill_cells=spill_cells,
+            cell_to_spill=cell_to_spill,
+            spill_col_overflow=spill_col_overflow,
+        )
+
     oob = C * cap
     slot = jnp.where(fits, cell * cap + rank, oob)
     overflow = jnp.sum((alive & (rank >= cap)).astype(jnp.int32))
-    clamped = jnp.sum((alive & clamped_mask).astype(jnp.int32))
     return Binned(
         slot_of=slot,
         in_grid=fits,

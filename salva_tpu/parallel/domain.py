@@ -240,6 +240,11 @@ def build_sharded_step_fn(sim, solver_cfg, forces, num_fluids: int,
         # Slab decomposition owns the full static domain; fluid-extent
         # fitting is a single-device optimization.
         sim = sim.replace(fitted_dims=None)
+    if getattr(sim, "dense_spill_columns", None):
+        # The spill structure is single-device (the halo slab binning
+        # keeps its own caps); clear it so the slab path's DenseCtx
+        # never sees it.
+        sim = sim.replace(dense_spill_columns=None)
     if solver_cfg.kind == "dfsph":
         from ..solver.dfsph_dense import build_dense_substep
     elif solver_cfg.kind == "iisph":

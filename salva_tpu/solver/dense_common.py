@@ -179,6 +179,10 @@ class DenseCtx:
             self.origin_dyn = anchor + shift * jnp.float32(h)
 
         self.sparse_b = False
+        # Dense+spill pair structure (config.dense_spill_columns): only
+        # on the single-device full-grid half-stencil path — the other
+        # layouts keep their own caps.
+        self.spill_E = 0
         if halo is not None:
             # Domain decomposition (parallel/domain.py): this device's
             # extended x-slab of the grid; flat rolls act on the LOCAL
@@ -251,11 +255,20 @@ class DenseCtx:
             self.jbf = lambda arr, o: arr[..., nbf[:, o]]
             self.jbb = lambda arr, o: arr[..., nbb[:, o]]
         else:
+            self.spill_E = int(getattr(sim, "dense_spill_columns", 0) or 0)
             self.binf = dg.bin_particles(
                 spec_f, fluids.positions, fluids.alive,
-                origin=self.origin_dyn,
+                origin=self.origin_dyn, spill_cols=self.spill_E,
             )
-            self.sf = spec_f
+            if self.spill_E:
+                # Extended column axis [cap, C + E + 1] (spill columns +
+                # void); all layout shuffles work through the extended
+                # grid_src/slot_of, only pair passes decompose.
+                self.sf = dg.ActiveSpec(
+                    spec_f.num_cells + self.spill_E + 1, spec_f.cap
+                )
+            else:
+                self.sf = spec_f
             offs = self.offsets
             self.jff = lambda arr, o: dg.shift_j(spec_f, arr, offs[o])
             self.sparse_b = bool(getattr(sim, "dense_sparse_boundary", True))
@@ -343,8 +356,16 @@ class DenseCtx:
             assert sorted(shifts) == sorted(-s for s in shifts), shifts
             self.pos_shifts = tuple(s for s in shifts if s > 0)
 
+        if self.spill_E:
+            assert self.half and self.sparse_b, (
+                "dense_spill_columns requires the single-device full-grid "
+                "half-stencil layout with sparse boundary binning "
+                "(the world only enables it there)"
+            )
         self.maskf = self.binf.mask
         self.live = self.maskf > 0
+        if self.spill_E:
+            self._build_spill_tables()
         self.uniform = getattr(sim, "uniform_particles", None)
         packed_f = getattr(self.binf, "grid_src", None) is not None
         if packed_f:
@@ -416,6 +437,11 @@ class DenseCtx:
         self._hoist()
         self.frozen = bool(getattr(sim, "dense_frozen_pairs", False))
         if self.frozen:
+            if self.spill_E:
+                raise NotImplementedError(
+                    "dense_frozen_pairs is incompatible with "
+                    "dense_spill_columns"
+                )
             self._freeze_pairs()
 
     @property
@@ -426,7 +452,178 @@ class DenseCtx:
         elif self.sparse_b:
             extra = self.binb.active_overflow
         extra = extra + getattr(self, "_fb_adj_overflow", 0)
-        return self.binf.overflow + self.binb.overflow + extra
+        return self.binf.overflow + self.binb.overflow + extra + (
+            self.spill_overflow if self.spill_E else 0
+        )
+
+    @property
+    def spill_overflow(self):
+        """Spill-structure table overflows (cells beyond the spill table,
+        adjacency columns beyond its table, condensed spill-neighbor
+        entries beyond K) — each one means dropped contacts, so the world
+        grows the tables when this fires."""
+        if not self.spill_E:
+            return 0
+        return (
+            self.binf.spill_col_overflow
+            + self._spill_adj_overflow
+            + self._spill_k_overflow
+        )
+
+    # -- dense+spill machinery (config.dense_spill_columns) ------------------
+    #
+    # The pair universe splits by (i-class, j-class) over main-grid and
+    # spill slots; each combination is covered exactly once:
+    #   main  <- main : the half-stencil roll blocks (unchanged, on the
+    #                   [..., :C] main slice);
+    #   spill <- main : gathered blocks over the spill columns' 3^dim
+    #                   main-neighbor columns;
+    #   spill <- spill: gathered blocks over the spill columns' 3^dim
+    #                   spill-neighbor columns (full stencil -> both
+    #                   directions covered);
+    #   main  <- spill: gathered blocks over the main columns ADJACENT to
+    #                   any spill cell (compact static table, fb-sparse
+    #                   pattern), each with a condensed [K] table of its
+    #                   neighboring spill columns (typically 1-3 of the
+    #                   27 neighbors are spill cells; K = dense_spill_k).
+    # Spill columns are rare by construction (cells beyond the cap tier:
+    # measured <= ~1% of occupied cells at tier 12 even in deep splash),
+    # so the gathered blocks are small; outputs assemble back onto the
+    # extended column axis with one unique-column scatter.
+
+    def _build_spill_tables(self):
+        sim, spec = self.sim, self.spec_f
+        E = self.spill_E
+        C = spec.num_cells
+        self._Cmain = C
+        self.cap2 = min(8, spec.cap)
+        self.CE = C + E + 1
+        shifts_py = [spec.flat_shift(o) for o in self.offsets]
+        shifts = jnp.asarray(shifts_py, jnp.int32)
+        sc = self.binf.spill_cells  # [E], C = unused
+        used = sc < C
+        c2s_ext = jnp.concatenate(
+            [self.binf.cell_to_spill, jnp.full((1,), E, jnp.int32)]
+        )  # [C+1]
+
+        # j-tables of each spill column's 3^dim neighborhood. Real spill
+        # cells are interior, so cell + shift stays in [0, C); unused
+        # table slots point at the void column (their i-side rows are
+        # sentinel-masked anyway).
+        nb = sc[:, None] + shifts[None, :]
+        self._sp_nb_main = jnp.where(used[:, None], nb, self.CE - 1)
+        nb_cell = jnp.minimum(jnp.where(used[:, None], nb, C), C)
+        self._sp_nb_spill = C + c2s_ext[nb_cell]  # [E, 3^dim]
+        # Same neighborhoods as CELL ids, for gathers into [_, C]-shaped
+        # boundary grids (clamped to 0; i-side sentinel masks the rest).
+        self._sp_nb_cell = jnp.where(used[:, None], nb, 0)
+
+        # Adjacency table (main-i <- spill-j): occupied main columns with
+        # a spill cell in their 3^dim neighborhood, compacted via top_k.
+        # Measured (tools/exp_spill.py, 97k trajectory): dilated-spill
+        # columns run ~8x the spill cell count (scattered cells, 3^dim
+        # dilation), and the E table itself carries ~4x headroom.
+        AADJ = getattr(sim, "dense_spill_adj_columns", None) or 8 * E
+        AADJ = int(min(AADJ, C))
+        K = min(int(getattr(sim, "dense_spill_k", 8)), len(shifts_py))
+        occ = self.binf.cell_to_spill < E  # [C]
+        adj = occ
+        for s in shifts_py:
+            if s != 0:
+                adj = adj | jnp.roll(occ, s)
+        col_occ = jnp.any(self.maskf[:, :C] > 0, axis=0)
+        adj = adj & col_occ
+        iota = jnp.arange(C, dtype=jnp.int32)
+        key = jnp.where(adj, C - iota, 0)
+        vals, ac = jax.lax.top_k(key, AADJ)
+        got = vals > 0
+        n_adj = jnp.sum(adj.astype(jnp.int32))
+        self._spill_adj_overflow = jnp.maximum(n_adj - AADJ, 0)
+        self._adj_cols = jnp.where(got, ac, 0)
+        self._adj_got = got
+        self._adj_sc = jnp.where(got, ac, self.CE)  # scatter target
+
+        # Condensed spill-j table [AADJ, K]: the spill columns in each
+        # adjacent column's neighborhood (entries beyond K are dropped
+        # AND counted — a silent drop would lose contacts).
+        s_nb = c2s_ext[
+            jnp.minimum(self._adj_cols[:, None] + shifts[None, :], C)
+        ]  # [AADJ, 3^dim] spill indices (E = none)
+        is_sp = (s_nb < E) & got[:, None]
+        n_per = jnp.sum(is_sp.astype(jnp.int32), axis=1)
+        n_off = len(shifts_py)
+        kkey = jnp.where(
+            is_sp, n_off - jnp.arange(n_off, dtype=jnp.int32)[None, :], 0
+        )
+        kv, ko = jax.lax.top_k(kkey, K)
+        picked = jnp.take_along_axis(s_nb, ko, axis=1)
+        self._adj_sp_nb = jnp.where(
+            kv > 0, C + picked, self.CE - 1
+        )  # [AADJ, K] extended col ids
+        self._spill_k_overflow = jnp.sum(jnp.maximum(n_per - K, 0))
+
+    def _mslice(self, arr):
+        """Main-column slice of an extended array (identity w/o spill)."""
+        return arr[..., : self._Cmain] if self.spill_E else arr
+
+    def _sp_i(self, arr):
+        """Spill-i slice: the live spill rows of the spill columns."""
+        return arr[..., : self.cap2, self._Cmain : self._Cmain + self.spill_E]
+
+    def _jv_sp_main(self, arr, o):
+        return arr[..., self._sp_nb_main[:, o]]
+
+    def _jv_sp_spill(self, arr, o):
+        return arr[..., : self.cap2, :][..., self._sp_nb_spill[:, o]]
+
+    def _jv_adj_spill(self, arr, k):
+        return arr[..., : self.cap2, :][..., self._adj_sp_nb[:, k]]
+
+    def _ff_spill_fold(self, j_arrays, body, init):
+        """Spill-i fold of a fluid-fluid pass: main-j then spill-j
+        gathered blocks over the spill columns' neighborhoods."""
+        acc = fold_pairs(
+            self.offsets, self.h, self.dim, self._sp_i(self.P),
+            self._sp_i(self.maskf), self.P, self.maskf, self._jv_sp_main,
+            j_arrays, body, init,
+        )
+        return fold_pairs(
+            self.offsets, self.h, self.dim, self._sp_i(self.P),
+            self._sp_i(self.maskf), self.P, self.maskf, self._jv_sp_spill,
+            j_arrays, body, acc,
+        )
+
+    def _ff_adj_fold(self, j_arrays, body, init):
+        """Adjacent-main-i <- spill-j fold (condensed K-wide j-table)."""
+        Pad = self.P[..., self._adj_cols]
+        mad = jnp.where(
+            self._adj_got, self.maskf[..., self._adj_cols], 0.0
+        )
+        K = self._adj_sp_nb.shape[1]
+        return fold_pairs(
+            range(K), self.h, self.dim, Pad, mad, self.P, self.maskf,
+            self._jv_adj_spill, j_arrays, body, init,
+        )
+
+    def _assemble(self, main, spill, adj=None):
+        """main [..., cap, C] + spill [..., cap2, E] + optional
+        adj [..., cap, AADJ] -> extended [..., cap, CE]."""
+        cap = self.spec_f.cap
+        if self.cap2 < cap:
+            pad_shape = (
+                spill.shape[:-2] + (cap - self.cap2,) + spill.shape[-1:]
+            )
+            spill = jnp.concatenate(
+                [spill, jnp.zeros(pad_shape, spill.dtype)], axis=-2
+            )
+        void = jnp.zeros(main.shape[:-1] + (1,), main.dtype)
+        out = jnp.concatenate([main, spill, void], axis=-1)
+        if adj is not None:
+            scat = jnp.zeros(
+                main.shape[:-1] + (self.CE,), main.dtype
+            ).at[..., self._adj_sc].set(adj, mode="drop")
+            out = out + scat
+        return out
 
     # -- per-substep passes -------------------------------------------------
 
@@ -490,7 +687,29 @@ class DenseCtx:
             return rho, jnp.stack(gf_new), sq, s2, cnt
 
         z = jnp.zeros_like(self.maskf)
-        if self._use_pallas():
+        if self.spill_E:
+            main = self._hoist_ff_half()
+            j_arr = {"m": self.M}
+            E, cap2 = self.spill_E, self.cap2
+            zs = jnp.zeros((cap2, E), jnp.float32)
+            sp = self._ff_spill_fold(
+                j_arr, ff_body,
+                (zs, jnp.zeros((dim, cap2, E), jnp.float32), zs, zs,
+                 jnp.zeros((cap2, E), jnp.int32)),
+            )
+            AADJ = self._adj_cols.shape[0]
+            cap = self.spec_f.cap
+            za = jnp.zeros((cap, AADJ), jnp.float32)
+            adj = self._ff_adj_fold(
+                j_arr, ff_body,
+                (za, jnp.zeros((dim, cap, AADJ), jnp.float32), za, za,
+                 jnp.zeros((cap, AADJ), jnp.int32)),
+            )
+            rho_ff, Gf, sq_ff, s2_ff, cnt_ff = (
+                self._assemble(m, s_, a)
+                for m, s_, a in zip(main, sp, adj)
+            )
+        elif self._use_pallas():
             from ..ops import hoist_ff_pallas
 
             rho_ff, Gf, sq_ff, s2_ff, cnt_ff = hoist_ff_pallas(
@@ -537,6 +756,30 @@ class DenseCtx:
         if self._fb_cols():
             rho_fb, Gb_raw, sq_fb, s2_fb, Sb_raw, cnt_fb = (
                 self._hoist_fb_sparse(fb_body)
+            )
+        elif self.spill_E:
+            # Full-roll fb hoist on the main slice + a gathered spill-i
+            # block over each spill column's 3^dim boundary neighborhood.
+            zm = jnp.zeros_like(self._mslice(self.maskf))
+            main = fold_pairs(
+                self.offsets, h, dim, self._mslice(self.P),
+                self._mslice(self.maskf), pb, maskb, self.jfb,
+                {"vol": volb, "vb": vbvel}, fb_body,
+                (zm, jnp.zeros_like(self._mslice(self.P)), zm, zm, zm,
+                 jnp.zeros_like(zm, dtype=jnp.int32)),
+            )
+            E, cap2 = self.spill_E, self.cap2
+            zs = jnp.zeros((cap2, E), jnp.float32)
+            jv_cell = lambda arr, o: arr[..., self._sp_nb_cell[:, o]]  # noqa: E731
+            sp = fold_pairs(
+                self.offsets, h, dim, self._sp_i(self.P),
+                self._sp_i(self.maskf), pb, maskb, jv_cell,
+                {"vol": volb, "vb": vbvel}, fb_body,
+                (zs, jnp.zeros((dim, cap2, E), jnp.float32), zs, zs, zs,
+                 jnp.zeros((cap2, E), jnp.int32)),
+            )
+            rho_fb, Gb_raw, sq_fb, s2_fb, Sb_raw, cnt_fb = (
+                self._assemble(m, s_) for m, s_ in zip(main, sp)
             )
         elif self._use_pallas():
             from ..ops import hoist_fb_pallas
@@ -611,6 +854,11 @@ class DenseCtx:
         harmless — their fluid occupancy mask is zero (interior clamp)
         so they only consume table slots (covered by the sizing
         headroom).
+
+        Under the spill structure the adjacency extends over the spill
+        columns too (a spill column whose CELL is boundary-adjacent
+        enters the table with its extended column id), so spill
+        particles keep their wall contacts.
         """
         C = self.spec_f.num_cells
         AFB = self._fb_cols()
@@ -625,11 +873,21 @@ class DenseCtx:
         for s in shifts:
             if s != 0:
                 adj = adj | jnp.roll(occ, s)
-        iota = jnp.arange(C, dtype=jnp.int32)
-        key = jnp.where(adj, C - iota, 0)
+        if self.spill_E:
+            E = self.spill_E
+            sc = self.binf.spill_cells
+            used = sc < C
+            adj_sp = jnp.where(used, adj[jnp.minimum(sc, C - 1)], False)
+            adj_ext = jnp.concatenate([adj, adj_sp])
+            n_cols = C + E
+        else:
+            adj_ext = adj
+            n_cols = C
+        iota = jnp.arange(n_cols, dtype=jnp.int32)
+        key = jnp.where(adj_ext, n_cols - iota, 0)
         vals, af = jax.lax.top_k(key, AFB)
         got = vals > 0
-        n_adj = jnp.sum(adj.astype(jnp.int32))
+        n_adj = jnp.sum(adj_ext.astype(jnp.int32))
         self._fb_adj_overflow = jnp.maximum(n_adj - AFB, 0)
         af_g = jnp.where(got, af, 0)
 
@@ -638,10 +896,17 @@ class DenseCtx:
         maski = jnp.where(got[None, :], self.maskf[..., af_g], 0.0)
 
         # j-side: boundary compact columns of each table cell's 3^dim
-        # neighbors (void column for inactive cells).
+        # neighbors (void column for inactive cells). Spill table
+        # entries use their CELL id for the neighborhood.
+        if self.spill_E:
+            af_cell = jnp.where(
+                af_g < C, af_g, sc[jnp.clip(af_g - C, 0, E - 1)]
+            )
+        else:
+            af_cell = af_g
         sh = jnp.asarray(shifts, jnp.int32)
         nfb = self.binb.cell_to_active[
-            jnp.clip(af_g[:, None] + sh[None, :], 0, C)
+            jnp.clip(af_cell[:, None] + sh[None, :], 0, C)
         ]  # [AFB, 3^dim]
 
         def jview(arr, o):
@@ -655,16 +920,17 @@ class DenseCtx:
              jnp.zeros_like(maski, dtype=jnp.int32)),
         )
 
-        # Scatter back to the full grid: one packed float scatter + one
-        # int scatter (unused table slots target the dropped column C).
-        af_sc = jnp.where(got, af, C)
+        # Scatter back to the (extended) grid: one packed float scatter +
+        # one int scatter (unused table slots target a dropped column).
+        out_cols = self.CE if self.spill_E else C
+        af_sc = jnp.where(got, af, out_cols)
         packed = jnp.concatenate(
             [rho[None], Gb, sq[None], s2[None], sb[None]], axis=0
         )
-        fullf = jnp.zeros(packed.shape[:-1] + (C + 1,), packed.dtype)
-        fullf = fullf.at[..., af_sc].set(packed, mode="drop")[..., :C]
-        fulli = jnp.zeros(cnt.shape[:-1] + (C + 1,), cnt.dtype)
-        fulli = fulli.at[..., af_sc].set(cnt, mode="drop")[..., :C]
+        fullf = jnp.zeros(packed.shape[:-1] + (out_cols,), packed.dtype)
+        fullf = fullf.at[..., af_sc].set(packed, mode="drop")
+        fulli = jnp.zeros(cnt.shape[:-1] + (out_cols,), cnt.dtype)
+        fulli = fulli.at[..., af_sc].set(cnt, mode="drop")
         dim = self.dim
         return (fullf[0], fullf[1:1 + dim], fullf[1 + dim],
                 fullf[2 + dim], fullf[3 + dim], fulli)
@@ -730,12 +996,17 @@ class DenseCtx:
         analog of the reference's half-stencil contact ``flip``
         (`contacts.rs:202-220,300-305`). A rolled-back column can wrap
         only when its source column held no live pair (ghost ring /
-        sentinel argument in ``dense_grid``), i.e. it moves zeros."""
+        sentinel argument in ``dense_grid``), i.e. it moves zeros.
+
+        Under the spill structure the blocks run on the MAIN column
+        slice; spill interactions are separate gathered blocks (see the
+        dense+spill section)."""
         dim = self.dim
+        Pm = self._mslice(self.P)
         for s in (0,) + self.pos_shifts:
-            pj = self._rollj(self.P, s)
+            pj = self._rollj(Pm, s)
             dpos = [
-                self.P[d][:, None, :] - pj[d][None, :, :] for d in range(dim)
+                Pm[d][:, None, :] - pj[d][None, :, :] for d in range(dim)
             ]
             r2 = dpos[0] * dpos[0]
             for d in range(1, dim):
@@ -745,29 +1016,31 @@ class DenseCtx:
     def _t_pass_half(self, Q):
         kg_w, kg_dw = self.kg
         dim, h = self.dim, self.h
-        acc = jnp.zeros_like(self.maskf)
+        Mm = self._mslice(self.M)
+        Qm = self._mslice(Q)
+        acc = jnp.zeros_like(self._mslice(self.maskf))
         for dpos, r2, s in self._blocks_half():
             _, dwr = w_dwr(r2, h, dim, kg_w, kg_dw)
-            mj = self._rollj(self.M, s)
-            qj = self._rollj(Q, s)
+            mj = self._rollj(Mm, s)
+            qj = self._rollj(Qm, s)
             t = qj[0][None, :, :] * dpos[0]
             for d in range(1, dim):
                 t = t + qj[d][None, :, :] * dpos[d]
             acc = acc + jnp.sum(t * dwr * mj[None, :, :], axis=1)
             if s:
                 # Mirror: T_j += m_i (Q_i . (p_j - p_i)) dwr = -(Q_i . dpos) dwr m_i
-                ti = Q[0][:, None, :] * dpos[0]
+                ti = Qm[0][:, None, :] * dpos[0]
                 for d in range(1, dim):
-                    ti = ti + Q[d][:, None, :] * dpos[d]
-                r = jnp.sum(ti * dwr * self.M[:, None, :], axis=0)
+                    ti = ti + Qm[d][:, None, :] * dpos[d]
+                r = jnp.sum(ti * dwr * Mm[:, None, :], axis=0)
                 acc = acc - jnp.roll(r, s, axis=-1)
         return acc
 
     def _k_pass_half(self, K):
         kg_w, kg_dw = self.kg
         dim, h = self.dim, self.h
-        MK = self.M * K
-        acc = [jnp.zeros_like(self.maskf) for _ in range(dim)]
+        MK = self._mslice(self.M * K)
+        acc = [jnp.zeros_like(self._mslice(self.maskf)) for _ in range(dim)]
         for dpos, r2, s in self._blocks_half():
             _, dwr = w_dwr(r2, h, dim, kg_w, kg_dw)
             coeff_j = self._rollj(MK, s)[None, :, :] * dwr
@@ -781,6 +1054,71 @@ class DenseCtx:
                     acc[d] = acc[d] - jnp.roll(r, s, axis=-1)
         return jnp.stack(acc)
 
+    # Spill-extended per-iteration bodies (plain full-stencil fold
+    # bodies; mask-free via the sentinel argument — dead slots carry
+    # zero mass and far positions).
+
+    def _t_body(self):
+        kg_w, kg_dw = self.kg
+        dim, h = self.dim, self.h
+
+        def body(acc, dpos, r2, within, j):
+            _, dwr = w_dwr(r2, h, dim, kg_w, kg_dw)
+            t = j["q"][0][None, :, :] * dpos[0]
+            for d in range(1, dim):
+                t = t + j["q"][d][None, :, :] * dpos[d]
+            return acc + jnp.sum(t * dwr * j["m"][None, :, :], axis=1)
+
+        return body
+
+    def _k_body(self):
+        kg_w, kg_dw = self.kg
+        dim, h = self.dim, self.h
+
+        def body(acc, dpos, r2, within, j):
+            _, dwr = w_dwr(r2, h, dim, kg_w, kg_dw)
+            coeff = j["mk"][None, :, :] * dwr
+            return jnp.stack(
+                [acc[d] + jnp.sum(dpos[d] * coeff, axis=1)
+                 for d in range(dim)]
+            )
+
+        return body
+
+    def _t_pass_spill(self, Q):
+        main = self._t_pass_half(Q)
+        body = self._t_body()
+        j_arr = {"m": self.M, "q": Q}
+        sp = self._ff_spill_fold(
+            j_arr, body,
+            jnp.zeros((self.cap2, self.spill_E), jnp.float32),
+        )
+        adj = self._ff_adj_fold(
+            j_arr, body,
+            jnp.zeros(
+                (self.spec_f.cap, self._adj_cols.shape[0]), jnp.float32
+            ),
+        )
+        return self._assemble(main, sp, adj)
+
+    def _k_pass_spill(self, K):
+        main = self._k_pass_half(K)
+        body = self._k_body()
+        dim = self.dim
+        j_arr = {"mk": self.M * K}
+        sp = self._ff_spill_fold(
+            j_arr, body,
+            jnp.zeros((dim, self.cap2, self.spill_E), jnp.float32),
+        )
+        adj = self._ff_adj_fold(
+            j_arr, body,
+            jnp.zeros(
+                (dim, self.spec_f.cap, self._adj_cols.shape[0]),
+                jnp.float32,
+            ),
+        )
+        return self._assemble(main, sp, adj)
+
     def _hoist_ff_half(self):
         """Half-stencil twin of the ff fold in :meth:`_hoist`: every
         hoisted sum has an i<->j mirror on the shared pair block
@@ -791,23 +1129,25 @@ class DenseCtx:
         dim, h = self.dim, self.h
         h2 = h * h
         need_s2 = self.need_s2
-        z = jnp.zeros_like(self.maskf)
+        Mm = self._mslice(self.M)
+        maskm = self._mslice(self.maskf)
+        z = jnp.zeros_like(maskm)
         rho, sq, s2 = z, z, z
-        cnt = jnp.zeros_like(self.maskf, dtype=jnp.int32)
+        cnt = jnp.zeros_like(maskm, dtype=jnp.int32)
         gf = [z for _ in range(dim)]
-        mask_i = self.maskf[:, None, :] > 0
+        mask_i = maskm[:, None, :] > 0
         for dpos, r2, s in self._blocks_half():
             _, dwr = w_dwr(r2, h, dim, kg_w, kg_dw)
             wd, _ = w_dwr(r2, h, dim, kd_w, kd_dw)
             within = (r2 <= h2) & mask_i & (
-                self._rollj(self.maskf, s)[None, :, :] > 0
+                self._rollj(maskm, s)[None, :, :] > 0
             )
-            mj = jnp.where(within, self._rollj(self.M, s)[None, :, :], 0.0)
+            mj = jnp.where(within, self._rollj(Mm, s)[None, :, :], 0.0)
             rho = rho + jnp.sum(mj * wd, axis=1)
             win_i = jnp.sum(within.astype(jnp.int32), axis=1)
             cnt = cnt + win_i
             if s:
-                mi = jnp.where(within, self.M[:, None, :], 0.0)
+                mi = jnp.where(within, Mm[:, None, :], 0.0)
                 rho = rho + jnp.roll(jnp.sum(mi * wd, axis=0), s, axis=-1)
                 cnt = cnt + jnp.roll(
                     jnp.sum(within.astype(jnp.int32), axis=0), s, axis=-1
@@ -844,6 +1184,8 @@ class DenseCtx:
             )
             out = self.sp_multi(ch)
             return jnp.sum(self.P * out[:dim], axis=0) - out[dim]
+        if self.spill_E:
+            return self._t_pass_spill(Q)
         if self._use_pallas():
             from ..ops import t_pass_pallas
 
@@ -871,6 +1213,8 @@ class DenseCtx:
             ch = jnp.concatenate([K[None], K[None] * self.P], axis=0)
             out = self.sp_multi(ch)
             return self.P * out[0][None] - out[1:]
+        if self.spill_E:
+            return self._k_pass_spill(K)
         if self._use_pallas():
             from ..ops import k_pass_pallas
 
@@ -892,7 +1236,7 @@ class DenseCtx:
     def _use_pallas(self) -> bool:
         import jax
 
-        if self.halo is not None:
+        if self.halo is not None or self.spill_E:
             return False
         if self.compact or not getattr(self.sim, "use_pallas", False):
             return False
@@ -912,7 +1256,11 @@ class DenseCtx:
 
     def boundary_forces(self, coef):
         """One boundary-owner pass: F_b = Volb_b sum_i grad_ij coef_i
-        (grad w.r.t. the fluid point; dpos in the fold is p_b - p_i)."""
+        (grad w.r.t. the fluid point; dpos in the fold is p_b - p_i).
+
+        Under the spill structure a second fold adds the spill fluid
+        slots' contributions (j = spill columns of each boundary cell's
+        3^dim neighborhood)."""
         kg_w, kg_dw = self.kg
         dim, h = self.dim, self.h
 
@@ -930,6 +1278,27 @@ class DenseCtx:
             self.offsets, h, dim, self.Pb, self.maskb, self.P, self.maskf,
             self.jbf, {"coef": coef}, body, jnp.zeros_like(self.Pb),
         )
+        if self.spill_E:
+            C, E = self._Cmain, self.spill_E
+            c2s_ext = jnp.concatenate(
+                [self.binf.cell_to_spill, jnp.full((1,), E, jnp.int32)]
+            )
+            sh = jnp.asarray(
+                [self.spec_f.flat_shift(o) for o in self.offsets],
+                jnp.int32,
+            )
+            b_cell = jnp.minimum(self._b_active, C)  # void -> C
+            nbs = C + c2s_ext[
+                jnp.minimum(b_cell[:, None] + sh[None, :], C)
+            ]  # [Ab+1, 3^dim] extended spill cols (or void)
+
+            def jv_spill(arr, o):
+                return arr[..., : self.cap2, :][..., nbs[:, o]]
+
+            Fb = fold_pairs(
+                self.offsets, h, dim, self.Pb, self.maskb, self.P,
+                self.maskf, jv_spill, {"coef": coef}, body, Fb,
+            )
         return self.Volb[None] * Fb
 
     # -- force-facing views ---------------------------------------------------
@@ -942,6 +1311,16 @@ class DenseCtx:
         onto the full grid at construction (compact-table gathers over
         the full cell axis measured ~3x slower than rolls on TPU), so
         force passes run as plain roll-view blocks."""
+        if self.spill_E:
+            # The generic force pair passes don't know the spill
+            # decomposition; the world disables the spill structure for
+            # scenes with dense-layout pair forces (particle-wise forces
+            # like elasticity never reach here).
+            raise NotImplementedError(
+                "dense pair forces are not supported with "
+                "dense_spill_columns; the world falls back to the plain "
+                "cap tier for such scenes"
+            )
         if not self.sparse_b:
             return (self.jfb, self.jbf, self.Pb, self.Vbvel, self.Volb,
                     self.maskb)

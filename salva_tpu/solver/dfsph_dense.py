@@ -150,21 +150,30 @@ def build_dense_substep(sim: SimConfig, cfg: DFSPHConfig, num_fluids: int,
         if dense_forces:
             from .forces_dense import DenseFields, ParticleWiseForce
 
-            jfb_v, jbf_v, Pb_v, Vbvel_v, Volb_v, maskb_v = (
-                ctx.force_field_views()
-            )
-            VOLg = ctx.vol_grid(fluids)
-            fields = DenseFields(
-                jff=ctx.jff, jfb=jfb_v, jbf=jbf_v,
-                n_offsets=len(ctx.offsets), P=ctx.P, V=V2, M=ctx.M,
-                VOL=VOLg, R0=R0, RHO=ctx.rho, FID=ctx.FID, maskf=maskf,
-                Pb=Pb_v, Vbvel=Vbvel_v, Volb=Volb_v, maskb=maskb_v,
-                h=sim.h, dim=dim, dt=dt, inv_dt=inv_dt,
-                kernel_density=sim.kernel_density,
-                kernel_gradient=sim.kernel_gradient,
-                halo=halo, interior=ctx.interior,
-            )
-            np_Fb_force = jnp.zeros_like(Pb_v)
+            # Particle-wise forces (elasticity) never read the dense
+            # field views; building them lazily keeps such scenes on the
+            # spill-structured fast path (whose extended arrays the
+            # generic force passes can't consume).
+            if any(not isinstance(f, ParticleWiseForce)
+                   for f in dense_forces):
+                jfb_v, jbf_v, Pb_v, Vbvel_v, Volb_v, maskb_v = (
+                    ctx.force_field_views()
+                )
+                VOLg = ctx.vol_grid(fluids)
+                fields = DenseFields(
+                    jff=ctx.jff, jfb=jfb_v, jbf=jbf_v,
+                    n_offsets=len(ctx.offsets), P=ctx.P, V=V2, M=ctx.M,
+                    VOL=VOLg, R0=R0, RHO=ctx.rho, FID=ctx.FID, maskf=maskf,
+                    Pb=Pb_v, Vbvel=Vbvel_v, Volb=Volb_v, maskb=maskb_v,
+                    h=sim.h, dim=dim, dt=dt, inv_dt=inv_dt,
+                    kernel_density=sim.kernel_density,
+                    kernel_gradient=sim.kernel_gradient,
+                    halo=halo, interior=ctx.interior,
+                )
+                np_Fb_force = jnp.zeros_like(Pb_v)
+            else:
+                fields = None
+                np_Fb_force = None
             any_fb = False
             for force in dense_forces:
                 if isinstance(force, ParticleWiseForce):
@@ -293,6 +302,7 @@ def build_dense_substep(sim: SimConfig, cfg: DFSPHConfig, num_fluids: int,
             neighbor_overflow=neighbor_overflow,
             candidate_overflow=candidate_overflow,
             max_density_ratio=max_rho,
+            spill_overflow=jnp.asarray(ctx.spill_overflow, jnp.int32),
         )
         return fluids, boundaries, new_state, diag
 

@@ -54,20 +54,29 @@ def build_dense_substep(sim: SimConfig, cfg: IISPHConfig, num_fluids: int,
         if dense_forces:
             from .forces_dense import DenseFields, ParticleWiseForce
 
-            jfb_v, jbf_v, Pb_v, Vbvel_v, Volb_v, maskb_v = (
-                ctx.force_field_views()
-            )
-            fields = DenseFields(
-                jff=ctx.jff, jfb=jfb_v, jbf=jbf_v,
-                n_offsets=len(ctx.offsets), P=ctx.P, V=ctx.V, M=ctx.M,
-                VOL=ctx.vol_grid(fluids), R0=R0, RHO=ctx.rho,
-                FID=ctx.FID, maskf=maskf, Pb=Pb_v, Vbvel=Vbvel_v,
-                Volb=Volb_v, maskb=maskb_v, h=sim.h, dim=dim,
-                dt=dt, inv_dt=inv_dt, kernel_density=sim.kernel_density,
-                kernel_gradient=sim.kernel_gradient,
-                halo=halo, interior=ctx.interior,
-            )
-            np_Fb_force = jnp.zeros_like(Pb_v)
+            # Lazily built: particle-wise forces never read the views
+            # (see dfsph_dense.py — keeps elasticity scenes on the
+            # spill-structured fast path).
+            if any(not isinstance(f, ParticleWiseForce)
+                   for f in dense_forces):
+                jfb_v, jbf_v, Pb_v, Vbvel_v, Volb_v, maskb_v = (
+                    ctx.force_field_views()
+                )
+                fields = DenseFields(
+                    jff=ctx.jff, jfb=jfb_v, jbf=jbf_v,
+                    n_offsets=len(ctx.offsets), P=ctx.P, V=ctx.V, M=ctx.M,
+                    VOL=ctx.vol_grid(fluids), R0=R0, RHO=ctx.rho,
+                    FID=ctx.FID, maskf=maskf, Pb=Pb_v, Vbvel=Vbvel_v,
+                    Volb=Volb_v, maskb=maskb_v, h=sim.h, dim=dim,
+                    dt=dt, inv_dt=inv_dt,
+                    kernel_density=sim.kernel_density,
+                    kernel_gradient=sim.kernel_gradient,
+                    halo=halo, interior=ctx.interior,
+                )
+                np_Fb_force = jnp.zeros_like(Pb_v)
+            else:
+                fields = None
+                np_Fb_force = None
             any_fb = False
             for force in dense_forces:
                 if isinstance(force, ParticleWiseForce):
@@ -211,6 +220,7 @@ def build_dense_substep(sim: SimConfig, cfg: IISPHConfig, num_fluids: int,
             neighbor_overflow=neighbor_overflow,
             candidate_overflow=candidate_overflow,
             max_density_ratio=max_rho,
+            spill_overflow=jnp.asarray(ctx.spill_overflow, jnp.int32),
         )
         return fluids, boundaries, new_pressures, diag
 

@@ -42,6 +42,9 @@ class StepDiagnostics:
     fluid_min: jnp.ndarray = None
     fluid_max: jnp.ndarray = None
     max_speed: jnp.ndarray = None
+    # Dense+spill table overflows (subset of neighbor_overflow): drives
+    # the world's table-growth policy (grow tables vs raise the cap tier).
+    spill_overflow: jnp.ndarray = None
 
     @classmethod
     def zeros(cls):

@@ -199,6 +199,9 @@ class LiquidWorld:
         self._dense_cap_boundary_request = dense_cap_boundary
         self._auto_caps: Optional[tuple] = None
         self._auto_caps_capacity = None
+        # Auto-sized spill table (config.dense_spill_columns): set when
+        # the auto cap tier picks 12 + spill; grown by the overflow path.
+        self._auto_spill: Optional[int] = None
         # Fluid-tracking grid window (config.fitted_dims): static dims
         # chosen here with quantization + hysteresis (resizes recompile),
         # origin tracked ON DEVICE by the substep (translation is free).
@@ -922,6 +925,17 @@ class LiquidWorld:
                 sim = sim.replace(
                     dense_cap=caps[0], dense_cap_boundary=caps[1]
                 )
+            if self._dense_cap_request is None:
+                # Spill table managed with the auto cap tier (explicit
+                # cap requests leave dense_spill_columns user-controlled).
+                # Re-checked against support here: a sim mutated after
+                # resolution (e.g. half-stencil turned off) must not
+                # reach DenseCtx with a stale spill setting.
+                spill = (
+                    self._auto_spill if self._spill_supported() else None
+                )
+                if sim.dense_spill_columns != spill:
+                    sim = sim.replace(dense_spill_columns=spill)
             if self._fit_grid and not self._initial_fit_done:
                 self._initial_fit()
             if sim.fitted_dims != self._fitted_dims:
@@ -1098,13 +1112,13 @@ class LiquidWorld:
         )
         self.boundaries_state = bd.replace(volumes=_bvol(wsum, bd.alive))
 
-    def _max_cell_occupancy(self, positions, alive) -> int:
-        """Max particles per grid cell at the CURRENT state (host-side;
-        only run when auto cap resolution is (re)computed, never on the
-        per-step path)."""
+    def _cell_counts(self, positions, alive):
+        """Per-occupied-cell particle counts at the CURRENT state
+        (host-side; only run when auto cap/spill sizing is (re)computed,
+        never on the per-step path). None when no live particles."""
         pos = np.asarray(positions)[np.asarray(alive)]
         if len(pos) == 0:
-            return 0
+            return None
         h = self.sim.h
         mins = np.asarray(self.sim.domain[0], np.float64)
         # Same origin rule as geometry.dense_grid.spec_for_aabb.
@@ -1116,7 +1130,11 @@ class LiquidWorld:
         for axis in range(1, self.dim):
             key = key * dims[axis] + c[:, axis]
         _, counts = np.unique(key, return_counts=True)
-        return int(counts.max())
+        return counts
+
+    def _max_cell_occupancy(self, positions, alive) -> int:
+        counts = self._cell_counts(positions, alive)
+        return 0 if counts is None else int(counts.max())
 
     def _resolved_dense_caps(self):
         """(dense_cap, dense_cap_boundary) with ``None`` requests
@@ -1150,7 +1168,22 @@ class LiquidWorld:
             # Harvesting that 1.4x needs a dense+spill structure (small
             # compacted overflow list beside a cap-8/12 grid), not a
             # tier change.
-            cap_f = 8 if occ_f <= 5 else 16
+            # Round 4: the dense+spill structure harvests that 1.4x
+            # SAFELY — the main grid runs the cheap 12 tier and the few
+            # over-cap cells (measured 97k deep splash: <= ~350 of ~13k
+            # occupied) route ranks 12..19 through compact spill columns
+            # (see config.dense_spill_columns), so transient compression
+            # sheds nothing. Tier 16 remains the fallback for
+            # configurations the spill structure doesn't cover.
+            if occ_f <= 5:
+                cap_f = 8
+                self._auto_spill = None
+            elif self._spill_supported():
+                cap_f = 12
+                self._auto_spill = self._sized_spill_columns(cap_f)
+            else:
+                cap_f = 16
+                self._auto_spill = None
             cap_b = max(8, -(-(occ_b + 2) // 8) * 8)
             self._auto_caps = (cap_f, cap_b)
             self._auto_caps_capacity = cap_key
@@ -1159,6 +1192,45 @@ class LiquidWorld:
             req_f if req_f is not None else auto_f,
             req_b if req_b is not None else auto_b,
         )
+
+    def _spill_supported(self) -> bool:
+        """The spill structure runs only on the single-device full-grid
+        half-stencil dense path with sparse boundary binning, and the
+        generic dense pair forces don't know the extended layout
+        (particle-wise forces like elasticity are fine)."""
+        sim = self.sim
+        if sim.dense_compact or not sim.dense_sparse_boundary:
+            return False
+        if not sim.dense_half_stencil or sim.use_pallas:
+            return False
+        if sim.dense_frozen_pairs:
+            return False
+        from .solver.forces_dense import ParticleWiseForce, to_dense_forces
+
+        if self._force_set is None:
+            self._force_set = self._build_force_set()
+        dense = to_dense_forces(self._force_set)
+        if dense is None:
+            return False  # gather layout anyway
+        return all(isinstance(f, ParticleWiseForce) for f in dense)
+
+    def _sized_spill_columns(self, cap_f: int) -> int:
+        """Spill table size: 4x the measured over-cap cell count at the
+        current state (usually ~0 on a fresh lattice — transient
+        compression appears later), floored generously and quantized so
+        occupancy drift doesn't recompile; the overflow path doubles it
+        when the table fills."""
+        counts = self._cell_counts(
+            self.fluids_state.positions, self.fluids_state.alive
+        )
+        measured = int((counts > cap_f).sum()) if counts is not None else 0
+        occupied = 0 if counts is None else len(counts)
+        # Fresh lattices measure ~0 over-cap cells; transient splash
+        # compression scales with the impact-front area, so the floor
+        # scales with the occupied cell count (97k trajectory probe:
+        # <= ~350 over-cap cells of ~13k occupied at tier 12).
+        floor = max(512, -(-occupied // 64 // 512) * 512)
+        return max(floor, -(-4 * measured // 512) * 512)
 
     def _resolved_fb_columns(self, sim: SimConfig) -> Optional[int]:
         """Static boundary-adjacency table size for the sparse fb hoist
@@ -1368,9 +1440,8 @@ class LiquidWorld:
         if n_over > 0 and self._bump_auto_dense_cap():
             warnings.warn(
                 f"neighbor capacity overflow: {n_over} entries dropped — "
-                "auto-raised dense_cap to 16 for subsequent steps "
-                "(transient compression exceeded the measured-occupancy "
-                "tier)"
+                "auto-grew the dense cap/spill sizing for subsequent steps "
+                "(transient compression exceeded the measured tier)"
             )
         elif n_over > 0:
             warnings.warn(
@@ -1385,18 +1456,43 @@ class LiquidWorld:
             )
 
     def _bump_auto_dense_cap(self) -> bool:
-        """Self-healing for auto cap sizing: when overflow appears on the
-        cheap cap=8 tier, move to 16 (the next efficient tier) instead of
-        warning the user into hand-tuning. Returns True when a bump was
-        applied."""
+        """Self-healing for auto cap/spill sizing. In order:
+
+        - spill TABLE overflow (cells/adjacency beyond the static
+          tables): double the spill table — contacts were dropped by
+          sizing, not by the cap tier;
+        - rank overflow on a spill tier (occupancy beyond
+          cap + spill rows): raise the cap tier (12 -> 16, spill kept:
+          representable occupancy 20 -> 24);
+        - rank overflow on a plain tier: raise to the next efficient
+          tier (8 -> 12+spill when supported, else 16).
+
+        Returns True when a change was applied (each one recompiles)."""
         if self._dense_cap_request is not None:
             return False
         if self.sim.domain is None or self._auto_caps is None:
             return False
         cap_f, cap_b = self._auto_caps
+        d = self.last_diagnostics
+        sp_over = 0
+        if d is not None and d.spill_overflow is not None:
+            sp_over = int(d.spill_overflow)
+        if self._auto_spill and sp_over > 0:
+            self._auto_spill = min(
+                2 * self._auto_spill, 1 << 20
+            )
+            # Every cap/spill change recompiles the step; count it like
+            # a window refit so benchmark timed windows rerun cleanly.
+            self.grid_refit_count += 1
+            return True
         if cap_f >= 16:
             return False
-        self._auto_caps = (16, cap_b)
+        if cap_f < 12 and self._spill_supported():
+            self._auto_caps = (12, cap_b)
+            self._auto_spill = self._sized_spill_columns(12)
+        else:
+            self._auto_caps = (16, cap_b)
+        self.grid_refit_count += 1
         return True
 
     def _maybe_warn_gather_on_accelerator(self, sim_eff: SimConfig):
@@ -1436,7 +1532,7 @@ class LiquidWorld:
                 warnings.warn(
                     f"neighbor capacity overflow: {int(d.neighbor_overflow)}"
                     " entries dropped — "
-                    + ("auto-raised dense_cap to 16 for subsequent steps"
+                    + ("auto-grew the dense cap/spill sizing for subsequent steps"
                        if bumped else
                        "physics degraded; raise max_neighbors / dense_cap")
                 )

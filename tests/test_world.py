@@ -290,8 +290,8 @@ def test_dense_forces_survive_remove_fluid():
 
 def test_auto_dense_cap_resolution():
     """dense_cap=None auto-sizes the slot tiers from measured occupancy
-    ({8,16} fluid tiers; boundary cap = next multiple of 8) and bumps
-    8 -> 16 when overflow shows up."""
+    (8 plain / 12+spill / 16 fallback; boundary cap = next multiple of
+    8) and bumps 8 -> 12+spill -> 16+spill when overflow shows up."""
     world = LiquidWorld(
         particle_radius=RADIUS, dim=2, neighbors=NEIGHBORS,
         domain=((-1.2, -0.2), (1.2, 1.5)), layout="dense",
@@ -304,14 +304,20 @@ def test_auto_dense_cap_resolution():
 
     sim = world._effective_sim()
     assert sim.dense_cap == 8
+    assert sim.dense_spill_columns is None
     assert sim.dense_cap_boundary % 8 == 0
-    # Overflow bump: the cheap tier self-heals to 16.
+    # Overflow bump: the cheap tier self-heals to 12 + spill, then 16.
+    assert world._bump_auto_dense_cap()
+    sim = world._effective_sim()
+    assert sim.dense_cap == 12
+    assert sim.dense_spill_columns >= 512
     assert world._bump_auto_dense_cap()
     assert world._effective_sim().dense_cap == 16
     assert not world._bump_auto_dense_cap()
 
     # Dense packing (2r spacing in h = 4r cells -> 4 per cell in 2D,
-    # but 3D-style stacks of 8 happen at impact; threshold is <= 5).
+    # but 3D-style stacks of 8 happen at impact; threshold is <= 5):
+    # resolves straight to the 12 + spill tier.
     world2 = LiquidWorld(
         particle_radius=RADIUS, dim=2, neighbors=NEIGHBORS,
         domain=((-1.2, -0.2), (1.2, 1.5)), layout="dense",
@@ -319,7 +325,9 @@ def test_auto_dense_cap_resolution():
     dense_pos = cube_positions(10, RADIUS / 2, 2, origin=(-0.2, 0.3))
     world2.add_fluid(Fluid(dense_pos, density0=1000.0))
     world2.add_boundary(Boundary(_box_walls_2d(RADIUS)))
-    assert world2._effective_sim().dense_cap == 16
+    sim2 = world2._effective_sim()
+    assert sim2.dense_cap == 12
+    assert sim2.dense_spill_columns >= 512
 
     # Explicit requests are honored unchanged.
     world3 = LiquidWorld(

@@ -78,6 +78,10 @@ def main():
     every = int(sys.argv[3]) if len(sys.argv) > 3 else 15
 
     world = build_world_wide(n_target)
+    # Pin the plain 16 tier: the probe MEASURES the occupancy
+    # distribution to size the spill structure — running it through the
+    # auto 12+spill tier would trigger growth recompiles mid-probe.
+    world._dense_cap_request = 16
     dt = 1.0 / 200.0
     worst = {}
     for s in range(steps):
