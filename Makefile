@@ -3,7 +3,7 @@
 
 PY ?= python
 
-.PHONY: test test-full test-fast native scenes bench entry-check clean
+.PHONY: test test-full test-fast native scenes bench bench-budget entry-check clean
 
 # Default tier: everything except @slow (the multi-minute shard_map
 # compile tests — covered per-push by entry-check's 8-device dryrun).
@@ -20,11 +20,13 @@ test-full:
 
 # Curated fast tier (<5 min; the per-push CI gate, .github/workflows/ci.yml):
 # kernels, neighbor search vs brute force, one dense/gather equivalence,
-# one scene smoke, native sampler, renderer.
+# one spill/gather equivalence (ADVICE r4), one scene smoke, native
+# sampler, renderer.
 test-fast:
 	$(PY) -m pytest tests/test_kernels.py tests/test_neighbors.py \
 		tests/test_native.py tests/test_viz.py \
 		tests/test_dense.py::test_dense_matches_gather \
+		tests/test_spill.py::test_spill_matches_gather_2d \
 		"tests/test_scenes.py::test_scene_smoke[custom_forces2]" -q
 
 # Build the C++ triangle-mesh sampler (optional; tests skip when absent).
@@ -36,6 +38,16 @@ scenes:
 
 bench:
 	$(PY) bench.py
+
+# Driver-artifact health check (VERDICT r4 #8): bench.py must emit its
+# JSON line within the driver's wall-clock budget even on a cold compile
+# cache — the script time-boxes its own 1M row (BENCH_BUDGET). Run under
+# `timeout` so a budget bust fails loudly instead of producing rc=124 at
+# round end. CPU tier: tiny N so CI can run it; the budget logic is
+# backend-independent.
+bench-budget:
+	timeout 600 env BENCH_N=4096 BENCH_STEPS=5 BENCH_BUDGET=540 \
+		JAX_PLATFORMS=cpu $(PY) bench.py
 
 entry-check:
 	PYTHONPATH= JAX_PLATFORMS=cpu \

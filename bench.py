@@ -8,9 +8,19 @@ DFSPH dam break on one TPU chip. This runs the headless harness scene
 JSON line whose primary metric is the BENCH_N run; the 1M measurement is
 the ``rows`` entry. ``vs_baseline`` is value / 1e8.
 
+The script budgets itself (VERDICT r4 #2): the driver runs it under a
+fixed wall-clock timeout, so the 1M row is skipped (with a
+``skipped_1m`` marker in the JSON) whenever the elapsed time plus a
+conservative estimate of the 1M cost — dominated by XLA compiles, which
+the primary row just measured for a same-shaped program — would exceed
+``BENCH_BUDGET`` seconds. rc=124 with no JSON must be impossible by
+construction.
+
 Env overrides: BENCH_N (default 100_000), BENCH_STEPS (default 20),
-BENCH_SKIP_1M=1 (drop the 1M row), BENCH_WARM / BENCH_PALLAS /
-BENCH_LAYOUT / BENCH_CAP / BENCH_FROZEN (A/B knobs).
+BENCH_SKIP_1M=1 (drop the 1M row), BENCH_BUDGET (seconds, default 540),
+BENCH_WARM / BENCH_PALLAS / BENCH_LAYOUT / BENCH_CAP / BENCH_FROZEN /
+BENCH_SPILL (A/B knobs; BENCH_SPILL=1 opts into the 12+spill auto tier,
+default off — measured 2.29x slower than plain cap 16 at 97k).
 """
 
 import json
@@ -18,6 +28,12 @@ import os
 import time
 
 import numpy as np
+
+_T0 = time.perf_counter()
+
+
+def _elapsed() -> float:
+    return time.perf_counter() - _T0
 
 
 def _measure_dispatch_us(reps: int = 30) -> float:
@@ -91,6 +107,10 @@ def run_config(target_n: int, steps: int):
             dense_frozen_pairs=True,
             dense_pair_dtype=os.environ.get("BENCH_PAIR_DTYPE", "float32"),
         )
+    if os.environ.get("BENCH_SPILL"):
+        # Opt into the 12+spill auto tier (off by default: judge-measured
+        # 2.29x slower than plain cap 16 at the 97k dam break).
+        world.sim = world.sim.replace(dense_spill_auto=True)
     if os.environ.get("BENCH_PALLAS"):
         # Occupancy-skipping Pallas pair kernels for the iteration passes.
         world.sim = world.sim.replace(use_pallas=True)
@@ -209,15 +229,34 @@ def main():
     target_n = int(os.environ.get("BENCH_N", "100000"))
     steps = int(os.environ.get("BENCH_STEPS", "20"))
 
+    budget = float(os.environ.get("BENCH_BUDGET", "540"))
+
     primary = run_config(target_n, steps)
     rows = [primary]
+    primary_elapsed = _elapsed()
     # North-star row (1M particles): recorded alongside the primary
     # metric in every driver run (VERDICT r3 #9). Fewer steps — at
     # ~500-900 ms/step the row still spends its time in steady state.
+    # Time-boxed (VERDICT r4 #2): the 1M cost is dominated by XLA
+    # compiles of a same-shaped program the primary row just paid for
+    # (cached: seconds; cold tunnel compile: ~10 min), so the primary
+    # row's own wall-clock is the estimate. Skip rather than time out.
+    skipped_1m = None
     if target_n < 1_000_000 and not os.environ.get("BENCH_SKIP_1M"):
-        rows.append(run_config(1_000_000, min(steps, 10)))
+        est_1m = 1.2 * primary_elapsed + 30.0
+        if _elapsed() + est_1m <= budget:
+            rows.append(run_config(1_000_000, min(steps, 10)))
+        else:
+            skipped_1m = (
+                f"elapsed {_elapsed():.0f}s + est {est_1m:.0f}s exceeds "
+                f"budget {budget:.0f}s (cold compile?); run once to seed "
+                ".jax_cache, then rerun"
+            )
 
     out = dict(primary)
+    if skipped_1m:
+        out["skipped_1m"] = skipped_1m
+    out["bench_elapsed_s"] = round(_elapsed(), 1)
     out["rows"] = [
         {k: r[k] for k in (
             "metric", "value", "ms_per_step", "pressure_iters",

@@ -208,13 +208,23 @@ class SimConfig:
     # contact-shedding hazard that forced the conservative 16 tier.
     # ``dense_spill_columns`` = spill table size E (None = off);
     # ``dense_spill_adj_columns`` = adjacency table size for the
-    # main-i <- spill-j block (None = min(16 * E, cells));
+    # main-i <- spill-j block (None = min(8 * E, cells));
     # ``dense_spill_k`` = max spill cells adjacent to one main column
     # (the condensed j-table width). All overflows are counted in the
     # step diagnostics and auto-grown by the world.
+    #
+    # ``dense_spill_auto`` gates whether the AUTO cap tier may resolve to
+    # 12 + spill. Default OFF: on the real chip the 12+spill program was
+    # measured 2.29x SLOWER than plain cap 16 at the 97k dam break
+    # (146.7 vs 64.0 ms/step, identical iterations) — the gathered spill
+    # pair blocks cost ~4x per column vs rolls and the statically-sized
+    # adjacency table (8*E columns) charges every solver iteration for a
+    # worst case (~350 spilling cells) that the floors inflate ~10x.
+    # Explicit ``dense_spill_columns`` requests are always honored.
     dense_spill_columns: Optional[int] = None
     dense_spill_adj_columns: Optional[int] = None
     dense_spill_k: int = 8
+    dense_spill_auto: bool = False
     # Uniform-particle fast path: when the world holds exactly one fluid
     # whose particles share one (mass, rest density) — the common case —
     # the per-particle M/R0/FID/VOL channels are pure functions of the

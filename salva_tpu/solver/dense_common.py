@@ -470,6 +470,14 @@ class DenseCtx:
             + self._spill_k_overflow
         )
 
+    @property
+    def spill_k_overflow(self):
+        """Condensed-K-table component of ``spill_overflow``, surfaced
+        separately (ADVICE r4): it is insensitive to the spill table size
+        E, so the world's growth policy must widen ``dense_spill_k`` (or
+        fall back to the plain tier) instead of doubling E forever."""
+        return self._spill_k_overflow if self.spill_E else 0
+
     # -- dense+spill machinery (config.dense_spill_columns) ------------------
     #
     # The pair universe splits by (i-class, j-class) over main-grid and
@@ -507,16 +515,22 @@ class DenseCtx:
         )  # [C+1]
 
         # j-tables of each spill column's 3^dim neighborhood. Real spill
-        # cells are interior, so cell + shift stays in [0, C); unused
-        # table slots point at the void column (their i-side rows are
+        # cells are normally interior (cell + shift stays in [0, C)), but
+        # escape-clamp pile-ups CAN make a border-ring cell spill
+        # (ADVICE r4: exp_maxocc measured occupancy 344 from escapees), so
+        # out-of-range flat indices must route to the void column instead
+        # of wrapping into arbitrary spill columns; unused table slots
+        # point at the void column too (their i-side rows are
         # sentinel-masked anyway).
         nb = sc[:, None] + shifts[None, :]
-        self._sp_nb_main = jnp.where(used[:, None], nb, self.CE - 1)
-        nb_cell = jnp.minimum(jnp.where(used[:, None], nb, C), C)
+        in_rng = (nb >= 0) & (nb < C)
+        valid = used[:, None] & in_rng
+        self._sp_nb_main = jnp.where(valid, nb, self.CE - 1)
+        nb_cell = jnp.clip(jnp.where(valid, nb, C), 0, C)
         self._sp_nb_spill = C + c2s_ext[nb_cell]  # [E, 3^dim]
         # Same neighborhoods as CELL ids, for gathers into [_, C]-shaped
         # boundary grids (clamped to 0; i-side sentinel masks the rest).
-        self._sp_nb_cell = jnp.where(used[:, None], nb, 0)
+        self._sp_nb_cell = jnp.where(valid, nb, 0)
 
         # Adjacency table (main-i <- spill-j): occupied main columns with
         # a spill cell in their 3^dim neighborhood, compacted via top_k.

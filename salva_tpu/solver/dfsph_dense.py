@@ -303,6 +303,7 @@ def build_dense_substep(sim: SimConfig, cfg: DFSPHConfig, num_fluids: int,
             candidate_overflow=candidate_overflow,
             max_density_ratio=max_rho,
             spill_overflow=jnp.asarray(ctx.spill_overflow, jnp.int32),
+            spill_k_overflow=jnp.asarray(ctx.spill_k_overflow, jnp.int32),
         )
         return fluids, boundaries, new_state, diag
 

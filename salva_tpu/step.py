@@ -45,6 +45,10 @@ class StepDiagnostics:
     # Dense+spill table overflows (subset of neighbor_overflow): drives
     # the world's table-growth policy (grow tables vs raise the cap tier).
     spill_overflow: jnp.ndarray = None
+    # Condensed-K-table component of spill_overflow, surfaced separately
+    # (ADVICE r4): doubling the spill table E cannot heal it — the world
+    # widens dense_spill_k instead.
+    spill_k_overflow: jnp.ndarray = None
 
     @classmethod
     def zeros(cls):

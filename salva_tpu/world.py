@@ -202,6 +202,10 @@ class LiquidWorld:
         # Auto-sized spill table (config.dense_spill_columns): set when
         # the auto cap tier picks 12 + spill; grown by the overflow path.
         self._auto_spill: Optional[int] = None
+        # Auto-widened condensed-K table (config.dense_spill_k): grown by
+        # the overflow path on K overflow, which doubling E cannot heal
+        # (ADVICE r4). None = config default.
+        self._auto_spill_k: Optional[int] = None
         # Fluid-tracking grid window (config.fitted_dims): static dims
         # chosen here with quantization + hysteresis (resizes recompile),
         # origin tracked ON DEVICE by the substep (translation is free).
@@ -930,12 +934,27 @@ class LiquidWorld:
                 # cap requests leave dense_spill_columns user-controlled).
                 # Re-checked against support here: a sim mutated after
                 # resolution (e.g. half-stencil turned off) must not
-                # reach DenseCtx with a stale spill setting.
+                # reach DenseCtx with a stale spill setting — and a tier
+                # RESOLVED for spill (cap 12) must not keep running
+                # without its spill table (it would shed more contacts
+                # than the 16 tier the resolver would otherwise pick), so
+                # the whole tier re-resolves on disagreement (ADVICE r4).
+                if self._auto_spill is not None and not self._spill_supported():
+                    self._auto_caps = None
+                    self._auto_spill = None
+                caps = self._resolved_dense_caps()
+                if (sim.dense_cap, sim.dense_cap_boundary) != caps:
+                    sim = sim.replace(
+                        dense_cap=caps[0], dense_cap_boundary=caps[1]
+                    )
                 spill = (
                     self._auto_spill if self._spill_supported() else None
                 )
                 if sim.dense_spill_columns != spill:
                     sim = sim.replace(dense_spill_columns=spill)
+                k = self._auto_spill_k
+                if spill is not None and k and sim.dense_spill_k != k:
+                    sim = sim.replace(dense_spill_k=k)
             if self._fit_grid and not self._initial_fit_done:
                 self._initial_fit()
             if sim.fitted_dims != self._fitted_dims:
@@ -1197,8 +1216,12 @@ class LiquidWorld:
         """The spill structure runs only on the single-device full-grid
         half-stencil dense path with sparse boundary binning, and the
         generic dense pair forces don't know the extended layout
-        (particle-wise forces like elasticity are fine)."""
+        (particle-wise forces like elasticity are fine). Gated on
+        ``dense_spill_auto`` (default off: measured 2.29x slower than the
+        plain 16 tier on the TPU dam break — see config.py)."""
         sim = self.sim
+        if not sim.dense_spill_auto:
+            return False
         if sim.dense_compact or not sim.dense_sparse_boundary:
             return False
         if not sim.dense_half_stencil or sim.use_pallas:
@@ -1475,23 +1498,55 @@ class LiquidWorld:
         cap_f, cap_b = self._auto_caps
         d = self.last_diagnostics
         sp_over = 0
+        sp_k_over = 0
         if d is not None and d.spill_overflow is not None:
             sp_over = int(d.spill_overflow)
+        if d is not None and getattr(d, "spill_k_overflow", None) is not None:
+            sp_k_over = int(d.spill_k_overflow)
+        if self._auto_spill and sp_k_over > 0:
+            # Condensed-K overflow is insensitive to the spill table size
+            # E (ADVICE r4): widen K toward the stencil size — at 3^dim
+            # entries a column's K table can hold its whole neighborhood,
+            # so overflow becomes impossible — instead of doubling E
+            # forever. If K is somehow already saturated, fall back to
+            # the plain 16 tier rather than loop.
+            n_off = 3 ** self.dim
+            cur_k = self._auto_spill_k or self.sim.dense_spill_k
+            if cur_k < n_off:
+                self._auto_spill_k = min(2 * cur_k, n_off)
+            else:
+                self._auto_caps = (16, cap_b)
+                self._auto_spill = None
+            self.grid_refit_count += 1
+            return True
         if self._auto_spill and sp_over > 0:
-            self._auto_spill = min(
-                2 * self._auto_spill, 1 << 20
-            )
+            grown = min(2 * self._auto_spill, 1 << 20)
+            if grown == self._auto_spill:
+                # Saturated: doubling changed nothing, so report
+                # unhealed instead of warning "auto-grew" forever
+                # (ADVICE r4).
+                return False
+            self._auto_spill = grown
             # Every cap/spill change recompiles the step; count it like
             # a window refit so benchmark timed windows rerun cleanly.
             self.grid_refit_count += 1
             return True
-        if cap_f >= 16:
+        if cap_f >= 48:
+            # Occupancy beyond 48 in an h-wide cell (rest packing is ~8)
+            # means a pathological pile-up (domain-clamp escapees), not a
+            # fluid state a bigger cap would fix.
             return False
         if cap_f < 12 and self._spill_supported():
             self._auto_caps = (12, cap_b)
             self._auto_spill = self._sized_spill_columns(12)
-        else:
+        elif cap_f < 16:
             self._auto_caps = (16, cap_b)
+        else:
+            # Keep healing past 16 in sublane-granule steps (VERDICT r4
+            # #5: basic3's impact compression exceeded 16 and shed 8.8%
+            # of its contacts with no self-heal): shedding contacts is a
+            # physics failure, a bigger pair block is only a perf cost.
+            self._auto_caps = (cap_f + 8, cap_b)
         self.grid_refit_count += 1
         return True
 

@@ -227,15 +227,28 @@ def test_spill_matches_gather_3d():
 
 
 def test_auto_tier_picks_spill():
-    """A 3D lattice (occupancy 8 > 5) on the supported path resolves to
-    the 12 tier with an auto-sized spill table."""
+    """A 3D lattice (occupancy 8 > 5) resolves to the plain 16 tier by
+    default, and to the 12 tier with an auto-sized spill table when the
+    spill structure is opted in (dense_spill_auto; measured slower than
+    the 16 tier on the TPU dam break, so not default)."""
     domain = ((-0.6, -0.3, -0.6), (0.6, 1.0, 0.6))
+    pos = cube_positions(5, RADIUS, 3, origin=(-0.2, 0.1, -0.2))
+
     w = LiquidWorld(
         solver=DFSPHConfig(), particle_radius=RADIUS, dim=3,
         domain=domain, layout="dense", fit_grid=False,
     )
-    pos = cube_positions(5, RADIUS, 3, origin=(-0.2, 0.1, -0.2))
     w.add_fluid(Fluid(pos, density0=1000.0))
     sim_eff = w._effective_sim()
-    assert sim_eff.dense_cap == 12
-    assert sim_eff.dense_spill_columns == 512
+    assert sim_eff.dense_cap == 16
+    assert sim_eff.dense_spill_columns is None
+
+    w2 = LiquidWorld(
+        solver=DFSPHConfig(), particle_radius=RADIUS, dim=3,
+        domain=domain, layout="dense", fit_grid=False,
+    )
+    w2.sim = w2.sim.replace(dense_spill_auto=True)
+    w2.add_fluid(Fluid(pos, density0=1000.0))
+    sim_eff2 = w2._effective_sim()
+    assert sim_eff2.dense_cap == 12
+    assert sim_eff2.dense_spill_columns == 512

@@ -289,9 +289,10 @@ def test_dense_forces_survive_remove_fluid():
 
 
 def test_auto_dense_cap_resolution():
-    """dense_cap=None auto-sizes the slot tiers from measured occupancy
-    (8 plain / 12+spill / 16 fallback; boundary cap = next multiple of
-    8) and bumps 8 -> 12+spill -> 16+spill when overflow shows up."""
+    """dense_cap=None auto-sizes the slot tiers from measured occupancy.
+    Default tiers are {8, 16} (boundary cap = next multiple of 8) with an
+    8 -> 16 overflow bump; opting in via dense_spill_auto enables the
+    12+spill tier (measured slower on the TPU dam break, so not default)."""
     world = LiquidWorld(
         particle_radius=RADIUS, dim=2, neighbors=NEIGHBORS,
         domain=((-1.2, -0.2), (1.2, 1.5)), layout="dense",
@@ -306,22 +307,43 @@ def test_auto_dense_cap_resolution():
     assert sim.dense_cap == 8
     assert sim.dense_spill_columns is None
     assert sim.dense_cap_boundary % 8 == 0
-    # Overflow bump: the cheap tier self-heals to 12 + spill, then 16.
+    # Overflow bump with spill off (default): straight to 16, then keeps
+    # healing in +8 granules (VERDICT r4 #5) up to the 48 pathology cap.
     assert world._bump_auto_dense_cap()
     sim = world._effective_sim()
-    assert sim.dense_cap == 12
-    assert sim.dense_spill_columns >= 512
+    assert sim.dense_cap == 16
+    assert sim.dense_spill_columns is None
     assert world._bump_auto_dense_cap()
-    assert world._effective_sim().dense_cap == 16
+    assert world._effective_sim().dense_cap == 24
+    for expected in (32, 40, 48):
+        assert world._bump_auto_dense_cap()
+        assert world._effective_sim().dense_cap == expected
     assert not world._bump_auto_dense_cap()
+
+    # Opt-in spill: the cheap tier self-heals to 12 + spill, then 16.
+    world_sp = LiquidWorld(
+        particle_radius=RADIUS, dim=2, neighbors=NEIGHBORS,
+        domain=((-1.2, -0.2), (1.2, 1.5)), layout="dense",
+    )
+    world_sp.sim = world_sp.sim.replace(dense_spill_auto=True)
+    world_sp.add_fluid(Fluid(pos, density0=1000.0))
+    world_sp.add_boundary(Boundary(_box_walls_2d(RADIUS)))
+    assert world_sp._effective_sim().dense_cap == 8
+    assert world_sp._bump_auto_dense_cap()
+    sim_sp = world_sp._effective_sim()
+    assert sim_sp.dense_cap == 12
+    assert sim_sp.dense_spill_columns >= 512
+    assert world_sp._bump_auto_dense_cap()
+    assert world_sp._effective_sim().dense_cap == 16
 
     # Dense packing (2r spacing in h = 4r cells -> 4 per cell in 2D,
     # but 3D-style stacks of 8 happen at impact; threshold is <= 5):
-    # resolves straight to the 12 + spill tier.
+    # resolves straight to the 12 + spill tier when opted in.
     world2 = LiquidWorld(
         particle_radius=RADIUS, dim=2, neighbors=NEIGHBORS,
         domain=((-1.2, -0.2), (1.2, 1.5)), layout="dense",
     )
+    world2.sim = world2.sim.replace(dense_spill_auto=True)
     dense_pos = cube_positions(10, RADIUS / 2, 2, origin=(-0.2, 0.3))
     world2.add_fluid(Fluid(dense_pos, density0=1000.0))
     world2.add_boundary(Boundary(_box_walls_2d(RADIUS)))

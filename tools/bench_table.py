@@ -54,6 +54,18 @@ def _timed(world, advance, steps):
             return elapsed, refits
 
 
+def _gate_overflow(row):
+    """Fidelity gate (VERDICT r4 #5): a row that sheds >= 0.1% of its
+    particles' contacts is not a valid throughput row — the dropped
+    pairs flatter ms/step while degrading the physics (the reference
+    never drops contacts: `contacts.rs:83-130` lists are unbounded).
+    The row records the violation loudly instead of posing as green."""
+    n = row["n_particles"]
+    if row["neighbor_overflow"] >= max(1, n // 1000):
+        row["overflow_exceeds_gate"] = True
+    return row
+
+
 def run_scene_row(name, warmup, steps):
     from salva_tpu import scenes
 
@@ -63,7 +75,7 @@ def run_scene_row(name, warmup, steps):
     elapsed, refits = _timed(world, lambda s: scenes.run(scene, s), steps)
     n = int(np.asarray(world.fluids_state.alive).sum())
     d = world.last_diagnostics
-    return {
+    return _gate_overflow({
         "config": name,
         "n_particles": n,
         "ms_per_step": elapsed / steps * 1e3,
@@ -73,7 +85,8 @@ def run_scene_row(name, warmup, steps):
         "divergence_iters": int(d.solver.divergence_iters),
         "neighbor_overflow": int(d.neighbor_overflow),
         "grid_refits": refits,
-    }
+        "warm_start": float(getattr(world.solver_config, "warm_start", 0.0)),
+    })
 
 
 def run_dam_row(n_target, warmup, steps):
@@ -128,7 +141,7 @@ def run_dam_row(n_target, warmup, steps):
     elapsed, refits = _timed(world, advance, steps)
     n = int(np.asarray(world.fluids_state.alive).sum())
     d = world.last_diagnostics
-    return {
+    return _gate_overflow({
         "config": f"dam_break_{n}",
         "n_particles": n,
         "ms_per_step": elapsed / steps * 1e3,
@@ -138,7 +151,8 @@ def run_dam_row(n_target, warmup, steps):
         "divergence_iters": int(d.solver.divergence_iters),
         "neighbor_overflow": int(d.neighbor_overflow),
         "grid_refits": refits,
-    }
+        "warm_start": float(getattr(world.solver_config, "warm_start", 0.0)),
+    })
 
 
 SCENE_CONFIGS = [
@@ -214,12 +228,15 @@ def main():
             print(f"| {r['config']} | ERROR: {r['error'][:60]} |" +
                   " |" * 7)
         else:
+            over = str(r["neighbor_overflow"])
+            if r.get("overflow_exceeds_gate"):
+                over += " **>=0.1% GATE**"
             print(
                 f"| {r['config']} | {r['n_particles']} "
                 f"| {r['ms_per_step']:.1f} "
                 f"| {r['particle_steps_per_sec']:.3g} "
                 f"| {r['density_error']:.4f} | {r['pressure_iters']} "
-                f"| {r['divergence_iters']} | {r['neighbor_overflow']} "
+                f"| {r['divergence_iters']} | {over} "
                 f"| {r.get('grid_refits', 0)} |"
             )
     print(f"(written to {args.out})", file=sys.stderr)
