@@ -224,3 +224,75 @@ def test_k_pass_matches(dim):
     )
     np.testing.assert_allclose(np.asarray(ref), np.asarray(out),
                                rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("dim", [2, 3])
+def test_k_pass_v2_matches(dim):
+    """Slot-group-gated v2 kernel == XLA k_pass (gating is pure work
+    elision; skipped blocks contribute exactly zero)."""
+    from salva_tpu.ops.pallas_pair2 import k_pass_pallas2
+
+    sim, ctx = _ctx(dim)
+    K = ctx.rho * 1e-6
+    ref = ctx.k_pass(K)
+    out = k_pass_pallas2(
+        ctx.spec_f, ctx.h, dim, sim.kernel_gradient, ctx.P, ctx.M, K,
+        tile=256, interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(ref), np.asarray(out),
+                               rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("dim", [2, 3])
+def test_v3_passes_match(dim):
+    """v3 lo/hi-split kernels == XLA k/t passes and the ff hoist fold
+    (interpret mode; the random _ctx state has cells above occupancy 8,
+    so the hi-complement kernel contributes real blocks)."""
+    from salva_tpu.ops.pallas_pair2 import (
+        hoist_ff_pallas3,
+        k_pass_pallas3,
+        t_pass_pallas3,
+    )
+    from salva_tpu.ops._pallas_hi import _group_flags, _pad_last
+    from salva_tpu.ops.pallas_pair import _halo, _pad_cap
+
+    sim, ctx = _ctx(dim)
+    # Precondition: hi groups actually live (else the complement kernel
+    # is untested).
+    w = -(-_halo(ctx.spec_f) // 128) * 128
+    Mp, _ = _pad_last(ctx.M, w, 256, 0.0)
+    flags = _group_flags(Mp, _pad_cap(ctx.spec_f.cap), w)
+    assert bool(np.asarray(flags[1:, :-1]).any())
+
+    K = ctx.rho * 1e-6
+    np.testing.assert_allclose(
+        np.asarray(ctx.k_pass(K)),
+        np.asarray(k_pass_pallas3(
+            ctx.spec_f, ctx.h, dim, sim.kernel_gradient, ctx.P, ctx.M,
+            K, tile=256, interpret=True)),
+        rtol=1e-4, atol=1e-5,
+    )
+    np.testing.assert_allclose(
+        np.asarray(ctx.t_pass(ctx.V)),
+        np.asarray(t_pass_pallas3(
+            ctx.spec_f, ctx.h, dim, sim.kernel_gradient, ctx.P, ctx.M,
+            ctx.V, tile=256, interpret=True)),
+        rtol=1e-4, atol=1e-3,
+    )
+    rho, gf, sq, s2, cnt = hoist_ff_pallas3(
+        ctx.spec_f, ctx.h, dim, sim.kernel_density, sim.kernel_gradient,
+        ctx.P, ctx.M, need_s2=True, tile=256, interpret=True,
+    )
+    from salva_tpu.ops import hoist_ff_pallas
+
+    ref = hoist_ff_pallas(
+        ctx.spec_f, ctx.h, dim, sim.kernel_density, sim.kernel_gradient,
+        ctx.P, ctx.M, need_s2=True, tile=256, interpret=True,
+    )
+    for r, o in zip(ref[:4], (rho, gf, sq, s2)):
+        r, o = np.asarray(r), np.asarray(o)
+        scale = max(float(np.abs(r).max()), 1.0)
+        np.testing.assert_allclose(o / scale, r / scale, atol=2e-6)
+    np.testing.assert_array_equal(np.asarray(ref[4]), np.asarray(cnt))
