@@ -112,8 +112,12 @@ def run_config(target_n: int, steps: int):
         # 2.29x slower than plain cap 16 at the 97k dam break).
         world.sim = world.sim.replace(dense_spill_auto=True)
     if os.environ.get("BENCH_PALLAS"):
-        # Occupancy-skipping Pallas pair kernels for the iteration passes.
-        world.sim = world.sim.replace(use_pallas=True)
+        # Force the Pallas pair kernels on ("1") or off ("0"); unset =
+        # the auto threshold (config.pallas_auto_cells — ON at the 1M
+        # window, OFF at 97k, both the measured winners).
+        world.sim = world.sim.replace(
+            use_pallas=os.environ["BENCH_PALLAS"] != "0"
+        )
     pos = cube_fluid((n_side, n_side, n_side), radius)
     # Dam break with impact inside the measured window: the block starts
     # one radius above the floor moving down at 2 m/s, so the timed steps

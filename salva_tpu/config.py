@@ -255,12 +255,21 @@ class SimConfig:
     # full stencil — rolled-back accumulation would cross slab ghosts).
     dense_half_stencil: bool = True
     # Use the hand-fused Pallas TPU kernels for the hot per-iteration pair
-    # passes (ops/pallas_pair.py). Measured on v5e: XLA's fusion of the
-    # shifted-view formulation is already ~1.5-2x FASTER than the manual
-    # VMEM-window kernel (the pass is VPU-compute-bound, and the kernel
-    # pays for unaligned window slices) — so this defaults OFF and the
-    # kernels remain as validated infrastructure for future tuning.
-    use_pallas: bool = False
+    # passes (ops/pallas_pair.py, ops/pallas_pair2.py). Measured on v5e:
+    # the round-5 "v3" lo/hi slot-group split runs the 1M k_pass 3.20x
+    # faster than the XLA rolls and the full 1M step 1.68x
+    # (tools/exp_truepairs.py, exp_pallas_ab.py) — work scales with live
+    # slot groups instead of cap padding and air columns — but LOSES ~9%
+    # at the 97k window (32k cells), where per-call overheads beat the
+    # smaller savings. ``None`` (default) = auto: the world enables the
+    # kernels on TPU when the grid window reaches
+    # ``pallas_auto_cells`` (and the spill/compact/halo guards pass);
+    # True/False force the choice. ``pallas_variant`` picks the
+    # formulation ("v3" default, "v1" = plain windowed kernels with
+    # tile-level air skip only).
+    use_pallas: bool = None
+    pallas_variant: str = "v3"
+    pallas_auto_cells: int = 100_000
     # Number of solver substeps per `step` call. The reference's
     # TimestepManager currently always runs exactly one substep per step
     # (``timestep_manager.rs:87-94``), so 1 is the faithful default.

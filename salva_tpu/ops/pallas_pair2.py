@@ -33,9 +33,11 @@ Two formulations, both measured at a 1M-particle dam-break state
   (gi > 0 or gj > 0) — live only where cell occupancy exceeds 8, a
   small transient fraction of the trajectory (tools/exp_maxocc.py) —
   runs in a complement kernel gated per (chunk, shift, group pair)
-  with VALUE-level ``lax.cond`` accumulation (no scratch RMW), and
-  whole chunks skip when neither their own rows nor any stencil
-  neighbor has a hi flag (``_pallas_hi._fired_flags``).
+  with ``pl.when`` + scratch accumulation (a VALUE-level ``lax.cond``
+  lowers to compute-both-branches + select on Mosaic — measured: the
+  "gated" blocks cost the same as unconditional ones), and whole
+  chunks skip when neither their own rows nor any stencil neighbor has
+  a hi flag (``_pallas_hi._fired_flags``).
 
 Correctness is unconditional: skipped blocks contribute exactly zero
 (empty slots carry the far-position sentinel and zero mass), so gating
@@ -339,3 +341,37 @@ def hoist_ff_pallas3(spec, h: float, dim: int, kernel_density: str,
     s2_o = hi[2 + dim].at[:lo, :].add(s2)
     cnt_o = hi[3 + dim].astype(jnp.int32).at[:lo, :].add(cnt)
     return rho_o, gf_o, sq_o, s2_o, cnt_o
+
+
+def hoist_fb_pallas3(spec_f, cap_b: int, h: float, dim: int,
+                     kernel_density: str, kernel_gradient: str, P, M,
+                     Pb, Volb, Vbvel, need_s2: bool = True,
+                     tile: int = 512, interpret: bool = False):
+    """Fluid-boundary hoist via the lo/hi split. The boundary j side has
+    no fluid slot groups, so the complement is simply the v1 fb kernel
+    run on the hi fluid row slice — its own per-tile occupancy flags
+    (from the hi rows' masses) skip everything when no cell exceeds
+    occupancy 8."""
+    from .pallas_pair import hoist_fb_pallas
+
+    capp = _pad_cap(spec_f.cap)
+    if capp <= 8:
+        return hoist_fb_pallas(
+            spec_f, cap_b, h, dim, kernel_density, kernel_gradient,
+            P, M, Pb, Volb, Vbvel, need_s2=need_s2, tile=tile,
+            interpret=interpret,
+        )
+    lo = 8
+    parts = []
+    for r0 in range(0, capp, lo):
+        sl = slice(r0, r0 + lo)
+        parts.append(hoist_fb_pallas(
+            spec_f.replace(cap=min(lo, spec_f.cap - r0)), cap_b, h, dim,
+            kernel_density, kernel_gradient, P[:, sl], M[sl], Pb, Volb,
+            Vbvel, need_s2=need_s2, tile=tile, interpret=interpret,
+        ))
+    outs = []
+    for k in range(6):
+        outs.append(jnp.concatenate([p[k] for p in parts], axis=-2))
+    rho, gb, sq, s2, sb, cnt = outs
+    return rho, gb, sq, s2, sb, cnt

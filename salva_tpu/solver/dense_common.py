@@ -724,9 +724,7 @@ class DenseCtx:
                 for m, s_, a in zip(main, sp, adj)
             )
         elif self._use_pallas():
-            from ..ops import hoist_ff_pallas
-
-            rho_ff, Gf, sq_ff, s2_ff, cnt_ff = hoist_ff_pallas(
+            rho_ff, Gf, sq_ff, s2_ff, cnt_ff = self._pallas_fns()[2](
                 self.spec_f, h, dim, self.sim.kernel_density,
                 self.sim.kernel_gradient, self.P, self.M,
                 need_s2=need_s2,
@@ -796,12 +794,12 @@ class DenseCtx:
                 self._assemble(m, s_) for m, s_ in zip(main, sp)
             )
         elif self._use_pallas():
-            from ..ops import hoist_fb_pallas
-
-            rho_fb, Gb_raw, sq_fb, s2_fb, Sb_raw, cnt_fb = hoist_fb_pallas(
-                self.spec_f, pb.shape[-2], h, dim, self.sim.kernel_density,
-                self.sim.kernel_gradient, self.P, self.M, pb, volb, vbvel,
-                need_s2=need_s2,
+            rho_fb, Gb_raw, sq_fb, s2_fb, Sb_raw, cnt_fb = (
+                self._pallas_fns()[3](
+                    self.spec_f, pb.shape[-2], h, dim,
+                    self.sim.kernel_density, self.sim.kernel_gradient,
+                    self.P, self.M, pb, volb, vbvel, need_s2=need_s2,
+                )
             )
         else:
             rho_fb, Gb_raw, sq_fb, s2_fb, Sb_raw, cnt_fb = fold_pairs(
@@ -1201,9 +1199,7 @@ class DenseCtx:
         if self.spill_E:
             return self._t_pass_spill(Q)
         if self._use_pallas():
-            from ..ops import t_pass_pallas
-
-            return t_pass_pallas(
+            return self._pallas_fns()[1](
                 self.spec_f, self.h, self.dim, self.sim.kernel_gradient,
                 self.P, self.M, Q,
             )
@@ -1230,9 +1226,7 @@ class DenseCtx:
         if self.spill_E:
             return self._k_pass_spill(K)
         if self._use_pallas():
-            from ..ops import k_pass_pallas
-
-            return k_pass_pallas(
+            return self._pallas_fns()[0](
                 self.spec_f, self.h, self.dim, self.sim.kernel_gradient,
                 self.P, self.M, K,
             )
@@ -1246,6 +1240,31 @@ class DenseCtx:
             for d in range(dim):
                 acc[d] = acc[d] + jnp.sum(dpos[d] * coeff, axis=1)
         return jnp.stack(acc)
+
+    def _pallas_fns(self):
+        """(k_pass, t_pass, hoist_ff, hoist_fb) for the configured
+        ``pallas_variant``: "v3" = the lo/hi slot-group split (measured
+        3.2x the XLA rolls on the 1M k_pass), "v1" = the plain windowed
+        kernels with tile-level air skip."""
+        if getattr(self.sim, "pallas_variant", "v3") == "v1":
+            from ..ops import (
+                hoist_fb_pallas,
+                hoist_ff_pallas,
+                k_pass_pallas,
+                t_pass_pallas,
+            )
+
+            return (k_pass_pallas, t_pass_pallas, hoist_ff_pallas,
+                    hoist_fb_pallas)
+        from ..ops.pallas_pair2 import (
+            hoist_fb_pallas3,
+            hoist_ff_pallas3,
+            k_pass_pallas3,
+            t_pass_pallas3,
+        )
+
+        return (k_pass_pallas3, t_pass_pallas3, hoist_ff_pallas3,
+                hoist_fb_pallas3)
 
     def _use_pallas(self) -> bool:
         import jax

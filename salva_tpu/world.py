@@ -962,6 +962,8 @@ class LiquidWorld:
             fbc = self._resolved_fb_columns(sim)
             if sim.dense_fb_columns != fbc:
                 sim = sim.replace(dense_fb_columns=fbc)
+            if sim.use_pallas is None:
+                sim = sim.replace(use_pallas=self._auto_use_pallas(sim))
         if sim.layout != "auto" or sim.domain is None:
             return sim
         mins, maxs = sim.domain
@@ -981,6 +983,30 @@ class LiquidWorld:
         if cells * sim.dense_cap > slot_limit:
             return sim.replace(layout="gather")
         return sim
+
+    def _auto_use_pallas(self, sim) -> bool:
+        """Resolve ``use_pallas=None`` (auto): enable the v3 slot-group
+        Pallas kernels on accelerators once the grid window is large
+        enough for their per-call overhead to pay off. Measured on v5e
+        (exp_pallas_ab.py): the full 1M dam-break step runs 1.68x
+        faster at 216k window cells; the 97k step (32k cells) loses ~9%
+        — the threshold sits conservatively between. Large mostly-air
+        grids (emitter/heightfield scenes) qualify too: work there
+        scales with occupied chunks instead of the vacuum. Guards
+        mirror ``DenseCtx._use_pallas`` (spill / compact / CPU off)."""
+        if jax.default_backend() == "cpu":
+            return False
+        if sim.dense_spill_columns or getattr(sim, "dense_compact", False):
+            return False
+        if sim.fitted_dims is not None:
+            cells = int(np.prod(sim.fitted_dims))
+        else:
+            mins, maxs = sim.domain
+            cells = 1
+            for lo, hi in zip(mins, maxs):
+                cells *= max(int(np.ceil((hi - lo) / sim.h)) + 4, 3)
+        threshold = int(getattr(sim, "pallas_auto_cells", 0) or 0)
+        return threshold > 0 and cells >= threshold
 
     # -- fluid-tracking grid window (config.fitted_dims) --------------------
 

@@ -37,7 +37,9 @@ def main():
     world = build_world(n_target)
     run_to_impact(world)
     sim = world._boundary_volume_mode(world._effective_sim(), None)
-    sim = sim.replace(recompute_boundary_volumes=False)
+    # Pin the XLA dispatch (the auto threshold would flip ctx passes to
+    # the Pallas kernels at large windows).
+    sim = sim.replace(recompute_boundary_volumes=False, use_pallas=False)
     spec_f, spec_b, _ = _dense_config(sim, world.solver_config,
                                       world._force_set)
     fl, bd = world.fluids_state, world.boundaries_state
@@ -143,6 +145,7 @@ def main():
     # Full-step A/B: default vs use_pallas at matched iteration counts.
     from profile_stages import timed_step
 
+    world.sim = world.sim.replace(use_pallas=False)
     base = timed_step("step XLA (default)", world)
     world.sim = world.sim.replace(use_pallas=True)
     t = timed_step("step PALLAS", world)

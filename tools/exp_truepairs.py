@@ -38,7 +38,10 @@ def main():
     world = build_world(n_target)
     run_to_impact(world)
     sim = world._boundary_volume_mode(world._effective_sim(), None)
-    sim = sim.replace(recompute_boundary_volumes=False)
+    # Pin the DenseCtx dispatch to the XLA folds: the auto threshold
+    # (config.pallas_auto_cells) would otherwise flip ctx.k_pass to the
+    # very kernels this tool A/Bs against.
+    sim = sim.replace(recompute_boundary_volumes=False, use_pallas=False)
     spec_f, spec_b, _ = _dense_config(sim, world.solver_config,
                                       world._force_set)
     fl, bd = world.fluids_state, world.boundaries_state
