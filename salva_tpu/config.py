@@ -119,9 +119,23 @@ class SimConfig:
     neighbors: NeighborConfig = NeighborConfig()
     # Compute layout. "gather": [N, K] neighbor tables (general; any
     # domain). "dense": binned cell grid with shifted dense pair math —
-    # the fast TPU path; requires a static ``domain`` box. "auto": dense
-    # whenever a domain is set and the configuration supports it.
+    # the fast TPU path; requires a static ``domain`` box. "brute":
+    # exact all-pairs blocks with no spatial binning (the small-N tier:
+    # one masked capacity^2 pair block is cheaper than the grid's fixed
+    # per-column costs below a few thousand particles, and can never
+    # overflow; see geometry.dense_grid.brute_spec). "auto": dense
+    # whenever a domain is set and the configuration supports it, with
+    # the brute tier replacing it on accelerators when the capacities
+    # sit under ``brute_max_particles`` / ``brute_max_boundary``.
     layout: str = "auto"
+    # Brute tier sizing: cyclic cell count (lane occupancy vs per-pass
+    # roll count; 32 matches the 3D stencil's program size) and the
+    # auto-tier capacity ceilings. capacity^2 pair slots per pass stays
+    # under ~17M at 4096 — comfortably one VPU pass; the boundary
+    # ceiling bounds the one-time boundary-volume pass at capb^2.
+    brute_cells: int = 32
+    brute_max_particles: int = 4096
+    brute_max_boundary: int = 32768
     # Static simulation domain ((mins...), (maxs...)) enabling the dense
     # layout. Particles leaving the box are clamped to its border cells.
     domain: Optional[tuple] = None

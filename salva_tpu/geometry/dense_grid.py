@@ -50,6 +50,12 @@ class DenseGridSpec:
     # escaped particles must still clamp to the ORIGINAL border ring or
     # sharded and single-device runs bin them into different cells.
     clamp_nx: int = None
+    # All-pairs brute tier (see :func:`brute_spec`): ``dims`` is a 1D
+    # CYCLIC group of cells with no spatial meaning — ``shift_j``'s roll
+    # wraparound enumerates every unordered cell pair exactly once over
+    # offsets 0..C-1, so every particle pairs with every other. Position
+    # binning is bypassed (``bin_particles_brute``).
+    brute: bool = False
 
     def __post_init__(self):
         if any(d < 3 for d in self.dims):
@@ -317,6 +323,57 @@ def bin_particles(spec: DenseGridSpec, positions, alive,
         overflow=overflow,
         clamped=clamped,
         grid_src=grid_src,
+    )
+
+
+def brute_spec(capacity: int, cells: int = 32) -> DenseGridSpec:
+    """All-pairs 'grid' for the brute small-N tier: ``cells`` cyclic
+    cells x ``ceil(capacity / cells)`` slots.
+
+    TPU rationale: below a few thousand particles the spatial grid's
+    candidate filtering saves less than its fixed per-column costs
+    (binning shuffles, channel grids, vacuum columns), and the cell-cap
+    slots it introduces can overflow (dropped contacts, the reference
+    never drops any — `contacts.rs:83-130`). One masked all-pairs block
+    is exact, shuffle-free and overflow-free; formulated as a 1D CYCLIC
+    grid (offset k pairs cell c with cell c+k mod C) it reuses the whole
+    dense roll machinery with total pair work exactly capacity^2 slots
+    and the cell axis on the vector lanes. ``cells`` trades lane
+    occupancy (wants >= ~32) against per-pass roll count."""
+    cells = int(max(3, min(cells, capacity)))
+    cap = -(-int(capacity) // cells)
+    return DenseGridSpec(
+        origin=(0.0,), dims=(cells,), cap=cap, cell_width=1.0, brute=True
+    )
+
+
+def bin_particles_brute(spec: DenseGridSpec, alive) -> Binned:
+    """Identity binding for the brute tier: particle ``i`` feeds slot
+    ``(cell i % C, rank i // C)`` — no sort, no scatter, position-free.
+    Particles beyond ``C * cap`` (an explicitly mis-sized spec; the
+    world sizes ``cap`` from the capacity) surface as ``overflow``."""
+    C, cap = spec.dims[0], spec.cap
+    n = alive.shape[0]
+    idx = jnp.arange(n, dtype=jnp.int32)
+    cell = idx % C
+    rank = idx // C
+    fits = alive & (rank < cap)
+    slot = jnp.where(fits, cell * cap + rank, jnp.int32(C * cap))
+    # grid_src[r, c] = particle c + r*C (n = empty slot), masked by alive.
+    src = (
+        jnp.arange(cap, dtype=jnp.int32)[:, None] * C
+        + jnp.arange(C, dtype=jnp.int32)[None, :]
+    )
+    alive_ext = jnp.concatenate([alive, jnp.zeros((1,), bool)])
+    src = jnp.minimum(src, n)
+    src = jnp.where(alive_ext[src], src, n)
+    return Binned(
+        slot_of=slot,
+        in_grid=fits,
+        mask=(src < n).astype(jnp.float32),
+        overflow=jnp.sum((alive & (rank >= cap)).astype(jnp.int32)),
+        clamped=jnp.zeros((), jnp.int32),
+        grid_src=src,
     )
 
 

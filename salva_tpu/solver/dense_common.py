@@ -142,7 +142,16 @@ class DenseCtx:
         self.kd = get_kernel(sim.kernel_density)
         self.kg = get_kernel(sim.kernel_gradient)
         self.offsets = dg.neighbor_offsets(self.dim)
-        self.compact = bool(getattr(sim, "dense_compact", True))
+        # Brute all-pairs tier (``dense_grid.brute_spec``): a 1D cyclic
+        # 'grid' whose offsets 0..C-1 enumerate every cell pair once —
+        # exact all-pairs interaction with no spatial binning, for small
+        # particle sets where the grid's fixed costs dominate.
+        self.brute = bool(getattr(spec_f, "brute", False))
+        if self.brute:
+            self.offsets = [(k,) for k in range(spec_f.dims[0])]
+        self.compact = (
+            bool(getattr(sim, "dense_compact", True)) and not self.brute
+        )
         self.halo = halo
         # Fluid-tracking grid window (config.fitted_dims): static dims,
         # traced origin recomputed HERE from the live fluid extent each
@@ -151,7 +160,9 @@ class DenseCtx:
         # from any fluid by the margin) rather than clamped into the
         # border ring, where they would interact spuriously.
         self.fitted = (
-            getattr(sim, "fitted_dims", None) is not None and halo is None
+            getattr(sim, "fitted_dims", None) is not None
+            and halo is None
+            and not self.brute
         )
         self.drop_b = self.fitted
         self.origin_dyn = None
@@ -209,6 +220,18 @@ class DenseCtx:
                 halo.nyz
             )
             self.interior = ((layer >= 1) & (layer < nxl + 1))[None, :]
+        elif self.brute:
+            # Identity binding, cyclic all-pairs views; spill / sparse /
+            # fitted / half / pallas machinery all stay off (the generic
+            # full-fold paths below are exactly the brute formulation).
+            self.binf = dg.bin_particles_brute(spec_f, fluids.alive)
+            self.binb = dg.bin_particles_brute(spec_b, boundaries.alive)
+            self.sf, self.sb = spec_f, spec_b
+            offs = self.offsets
+            self.jff = lambda arr, o: dg.shift_j(spec_f, arr, offs[o])
+            self.jfb = self.jff
+            self.jbf = self.jff
+            self.jbb = self.jff
         elif self.compact:
             a_f = max(
                 256,
@@ -348,6 +371,7 @@ class DenseCtx:
         # self block (shift 0) is kept whole.
         self.half = (
             not self.compact
+            and not self.brute
             and halo is None
             and bool(getattr(sim, "dense_half_stencil", True))
         )
@@ -1269,7 +1293,7 @@ class DenseCtx:
     def _use_pallas(self) -> bool:
         import jax
 
-        if self.halo is not None or self.spill_E:
+        if self.halo is not None or self.spill_E or self.brute:
             return False
         if self.compact or not getattr(self.sim, "use_pallas", False):
             return False

@@ -98,13 +98,23 @@ def _dense_config(sim: SimConfig, solver_cfg, forces: ForceSet):
     if dense_forces is None:
         reasons.append("a non-pressure force has no dense implementation")
     if reasons:
-        if sim.layout == "dense":
+        if sim.layout in ("dense", "brute"):
             raise ValueError(
-                "layout='dense' not possible: " + "; ".join(reasons)
+                f"layout={sim.layout!r} not possible: " + "; ".join(reasons)
             )
         return None
 
-    from .geometry.dense_grid import spec_for_aabb
+    from .geometry.dense_grid import brute_spec, spec_for_aabb
+
+    if sim.layout == "brute":
+        # All-pairs tier: dense_cap / dense_cap_boundary carry the
+        # PER-CYCLIC-CELL slot counts (= ceil(capacity / brute_cells),
+        # resolved by the world); mis-sized explicit caps surface as
+        # bin overflow in the diagnostics, never as silent drops.
+        cells = int(sim.brute_cells)
+        spec_f = brute_spec(sim.dense_cap * cells, cells)
+        spec_b = brute_spec(sim.dense_cap_boundary * cells, cells)
+        return spec_f, spec_b, dense_forces
 
     mins, maxs = sim.domain
     spec_f = spec_for_aabb(mins, maxs, sim.h, sim.dense_cap)

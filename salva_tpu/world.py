@@ -920,6 +920,26 @@ class LiquidWorld:
         far beyond the particle capacity) — dense wins on dense fluids,
         loses on tiny particle sets in large domains."""
         sim = self.sim
+        if sim.domain is not None and self._brute_active():
+            # Brute all-pairs tier (geometry.dense_grid.brute_spec): exact
+            # small-N pair math with no spatial binning — no caps to
+            # overflow, no window to fit, no per-column fixed costs. The
+            # per-cyclic-cell slot counts derive from the capacities.
+            uniform = self._uniform_particles()
+            if sim.uniform_particles != uniform:
+                sim = sim.replace(uniform_particles=uniform)
+            cells = int(sim.brute_cells)
+            return sim.replace(
+                layout="brute",
+                dense_cap=-(-self.fluids_state.capacity // cells),
+                dense_cap_boundary=max(
+                    1, -(-self.boundaries_state.capacity // cells)
+                ),
+                use_pallas=False,
+                fitted_dims=None,
+                dense_spill_columns=None,
+                dense_fb_columns=None,
+            )
         if sim.domain is not None:
             uniform = self._uniform_particles()
             if sim.uniform_particles != uniform:
@@ -1036,6 +1056,8 @@ class LiquidWorld:
         per-substep origin tracking is on device)."""
         if not self._fit_grid or self.sim.domain is None:
             return
+        if self._brute_active():
+            return  # no grid window on the all-pairs tier
         d = self.last_diagnostics
         if d is None or d.fluid_min is None:
             return
@@ -1237,6 +1259,34 @@ class LiquidWorld:
             req_f if req_f is not None else auto_f,
             req_b if req_b is not None else auto_b,
         )
+
+    def _brute_active(self) -> bool:
+        """Whether steps run the brute all-pairs tier (layout="brute",
+        or "auto" on accelerators with capacities under the brute
+        ceilings — where one masked capacity^2 pair block beats the
+        grid's fixed per-column costs; see config.brute_max_particles).
+        Requires the dense machinery (solver + force support): without
+        it the auto fallback stays the gather path."""
+        sim = self.sim
+        if sim.domain is None:
+            return False
+        if sim.layout not in ("auto", "brute"):
+            return False
+        if sim.layout == "auto":
+            if jax.default_backend() == "cpu":
+                return False
+            if (
+                self.fluids_state.capacity > sim.brute_max_particles
+                or self.boundaries_state.capacity > sim.brute_max_boundary
+            ):
+                return False
+        if self.solver_config.kind not in ("dfsph", "iisph"):
+            return False
+        from .solver.forces_dense import to_dense_forces
+
+        if self._force_set is None:
+            self._force_set = self._build_force_set()
+        return to_dense_forces(self._force_set) is not None
 
     def _spill_supported(self) -> bool:
         """The spill structure runs only on the single-device full-grid

@@ -72,7 +72,17 @@ def test_transmit_forces_pushes_dynamic_body():
     samples don't START inside fluid particles — overlapping spawns make
     the first pressure solve impulsive and the trajectory chaotic (the
     pre-fix version launched the ball at hundreds of m/s in a
-    direction that depended on solver rounding)."""
+    direction that depended on solver rounding).
+
+    Ball density 400 (not lighter): explicit two-way coupling has a
+    per-step feedback gain ~ (fluid pressure response) / (body mass) —
+    at density 100 this configuration sits at the stability margin and
+    a host FP-instruction change (observed when this box's CPU type
+    changed: the settle oscillation grew +0.2 -> -0.4 -> +3.3 -> -8.9
+    -> +207 m/s) tips it into divergence. The reference's explicit
+    coupling (`fluids_pipeline.rs:263-287`) is conditionally stable the
+    same way; 400 keeps the buoyancy claim (< 1000) with 4x the
+    inertia, comfortably inside the stable region on any host."""
     pip = _pipeline()
     pos = cube_positions_block()
     center = np.array([0.0, 0.3], np.float32)
@@ -88,7 +98,7 @@ def test_transmit_forces_pushes_dynamic_body():
 
     body = pip.bodies.add_body("dynamic", translation=tuple(center))
     shape = shapes.Ball(0.1)
-    co = pip.bodies.add_collider(body, shape, density=100.0)
+    co = pip.bodies.add_collider(body, shape, density=400.0)
     bo = pip.liquid_world.add_boundary(Boundary(np.zeros((0, 2))))
     samples = shape_surface_sample(shape, RADIUS, 2)
     pip.coupling.register_coupling(
@@ -306,7 +316,7 @@ def test_device_transmit_forces_pushes_dynamic_body():
 
     body = pip.bodies.add_body("dynamic", translation=tuple(center))
     shape = shapes.Ball(0.1)
-    co = pip.bodies.add_collider(body, shape, density=100.0)
+    co = pip.bodies.add_collider(body, shape, density=400.0)
     bo = pip.liquid_world.add_boundary(Boundary(np.zeros((0, 2))))
     samples = shape_surface_sample(shape, RADIUS, 2)
     pip.coupling.register_coupling(
