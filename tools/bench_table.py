@@ -110,6 +110,14 @@ def run_dam_row(n_target, warmup, steps):
         domain=domain, layout="dense", dense_cap=None,
         dense_cap_boundary=None,
     )
+    # TABLE_PALLAS=1/0 forces the Pallas pair kernels on/off for the dam
+    # rows (unset = the auto threshold), mirroring bench.py's BENCH_PALLAS:
+    # the A/B that sizes `pallas_auto_cells` must run the EXACT table
+    # config, healed cap tier included.
+    if os.environ.get("TABLE_PALLAS"):
+        world.sim = world.sim.replace(
+            use_pallas=os.environ["TABLE_PALLAS"] != "0"
+        )
     pos = cube_fluid((n_side,) * 3, radius)
     pos[:, 1] += half + radius
     vel = np.zeros_like(pos)
